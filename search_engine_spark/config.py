@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+Replaces the reference's ConfigClass (reference configuration.py:5-16) with a
+dataclass that also carries the scale knobs the reference hard-coded:
+spill threshold 200k terms (indexer.py:23), 4M-posting output files
+(indexer.py:21), 100k-doc metadata batches (indexer.py:71-74). Under Spark
+those become shuffle/partition sizing parameters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # --- index layout -------------------------------------------------------
+    #: number of document buckets (doc-partitioned index shards). Each bucket
+    #: holds postings of *all* terms for its doc_id range, so one query fans
+    #: out to every bucket and each bucket runs an independent DAAT pass.
+    #: This is also what defuses hot-term skew: a stopword-adjacent high-DF
+    #: term's posting list is split across all buckets instead of landing on
+    #: one reducer (two-stage agg: (term,bucket) partials, then global df).
+    #: At 100 TB scale set ~ n_docs / 2M; for local tests a small number.
+    num_buckets: int = 8
+
+    #: docs per compressed posting block (per-block max-score metadata is
+    #: kept at this granularity for block-max WAND pruning).
+    block_size: int = 128
+
+    #: cap on rows per output file, the Spark analog of the reference's 4M
+    #: postings-per-file cap (indexer.py:21,181-187).
+    max_records_per_file: int = 4_000_000
+
+    # --- text processing ----------------------------------------------------
+    #: apply stemming (reference stemmer.py; ConfigClass.toStem
+    #: configuration.py:16). Default off, like the reference's main.py.
+    stemming: bool = False
+
+    # --- scoring (reference constants, see BASELINE.md) ---------------------
+    bm25_k: float = 1.2            # ranker.py:94
+    bm25_b: float = 0.75           # ranker.py:95
+    w_cosine: float = 0.9          # ranker.py:76
+    w_bm25: float = 0.05           # ranker.py:77
+    w_glove: float = 0.05          # ranker.py:78
+    min_match_ratio: float = 0.35  # searcher.py:67
+
+    #: embedding dimension when glove scoring is enabled (search_engine.py:13)
+    glove_dim: int = 25
+    #: path to a GloVe-format text file; None disables the embedding component
+    #: (the reference crashed at import without it — we make it optional).
+    glove_path: str | None = None
+
+    # --- spark tuning -------------------------------------------------------
+    shuffle_partitions: int = 32
+    extra_spark_conf: dict = field(default_factory=dict)

@@ -1,0 +1,224 @@
+"""Inverted-index construction (the build job).
+
+Spark re-expression of the reference's indexer (reference indexer.py:33-253):
+the manual 200k-term spill files + external k-way merge collapse into one
+wide aggregation — Spark's sort-merge shuffle IS the k-way merge. Layout is
+**document-partitioned**: postings are grouped by ``(bucket, term)`` where
+``bucket = doc_id % num_buckets``, so
+
+- a hot term (stopword-adjacent high-DF token) is split across all buckets —
+  the two-stage (term, bucket) → term aggregation is the skew salting the
+  north_star calls for, with bucket as the salt;
+- each bucket is a self-contained shard over its doc range: query-time DAAT
+  intersection runs partition-parallel with a local top-k per shard and one
+  tiny global TakeOrderedAndProject;
+- global df/idf comes from a second, small aggregation over per-bucket
+  partials (map-side combine does most of the work).
+
+Index finalization semantics replicate the reference merge loop
+(indexer.py:156-173, SURVEY.md §2.5 M5-M7):
+
+- named-entity prune: literal case-sensitive membership of the posting term
+  in the entity counter — which, as in the reference, can never match
+  (entity keys keep original capitalization, posting terms are lowercase),
+  so it is carried as a faithful no-op;
+- always-capitalized terms are stored UPPERCASED (making them unreachable
+  by lowercase query terms — quirk kept, SURVEY.md §3.4.5);
+- df == 1 terms are dropped from the vocabulary.
+
+Tables written under ``index_path`` (parquet + manifest, Iceberg-shaped):
+``parsed`` (staged parse output, the resume checkpoint), ``postings``,
+``term_stats``, ``doc_stats``, ``corpus_stats``.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.operators.parse import parse_corpus
+from search_engine_spark.sources.catalog import CatalogAdapter
+
+
+def _explode_terms(parsed: DataFrame) -> DataFrame:
+    return parsed.select(
+        "bucket",
+        "doc_id",
+        "doc_length",
+        F.explode("terms").alias("kv"),
+    ).select(
+        "bucket",
+        "doc_id",
+        "doc_length",
+        F.col("kv.term").alias("term"),
+        F.col("kv.tf").alias("tf"),
+    )
+
+
+def build_vocabulary(parsed: DataFrame) -> DataFrame:
+    """Vocabulary with final (possibly uppercased) term and global df.
+
+    Returns (term, final_term, df) for surviving terms only.
+    """
+    exploded = _explode_terms(parsed)
+
+    df_raw = exploded.groupBy("term").agg(F.count("*").alias("df"))
+
+    # A5: bool AND across docs of the per-doc capital flag (min ≡ AND)
+    capitals = (
+        parsed.select(F.explode("capitals").alias("kv"))
+        .select(F.col("kv.term").alias("term"), F.col("kv.cap").alias("cap"))
+        .groupBy("term")
+        .agg(F.min("cap").alias("always_cap"))
+    )
+
+    # A4: per-doc-distinct entity counts (entities is a set per doc)
+    entity_counts = (
+        parsed.select(F.explode("entities").alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("entity_count"))
+    )
+
+    vocab = (
+        df_raw
+        # M6 (faithful no-op): drop term if it IS an entity key with count<2
+        .join(entity_counts, df_raw["term"] == entity_counts["entity"], "left")
+        .filter(~((F.col("entity_count").isNotNull()) & (F.col("entity_count") < 2)))
+        .drop("entity", "entity_count")
+        # M7: uppercase rewrite for always-capitalized terms
+        .join(capitals, "term", "left")
+        .withColumn(
+            "final_term",
+            F.when(F.col("always_cap") == True, F.upper("term")).otherwise(  # noqa: E712
+                F.col("term")
+            ),
+        )
+        .drop("always_cap")
+        # M5: df == 1 prune
+        .filter(F.col("df") > 1)
+    )
+    return vocab
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_path: str,
+    config: EngineConfig | None = None,
+    compress: bool = True,
+    resume_batches: int = 4,
+) -> dict:
+    """Run the full index build; returns build metrics.
+
+    Stage A parses the corpus (narrow, no shuffle) and stages the result —
+    the checkpoint boundary for resume. Stage B derives all index tables
+    from the staged parse with exactly two wide shuffles: one groupBy
+    (bucket, term) for postings and one small groupBy(term) for stats.
+    """
+    cfg = config or EngineConfig()
+    cat = CatalogAdapter(index_path)
+    t0 = time.time()
+
+    # ---- stage A: parse + stage (resume checkpoint) -----------------------
+    # The expensive narrow stage is committed in `resume_batches` slices of
+    # the bucket space, each with its own manifest entry (rows + wall time):
+    # a killed build resumes by skipping committed batches (north_rule
+    # per-partition lineage; tested in tests/test_resume.py).
+    if not cat.is_complete("parsed"):
+        done = set(cat.completed_batches("parsed"))
+        for i in range(resume_batches):
+            if str(i) in done:
+                continue
+            subset = pages.filter(
+                F.pmod(
+                    F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)),
+                    F.lit(resume_batches),
+                )
+                == i
+            )
+            cat.append_batch(
+                parse_corpus(subset, cfg),
+                "parsed",
+                str(i),
+                partition_by=["bucket"],
+            )
+        cat.finalize_batched_table("parsed")
+    parsed = spark.read.parquet(cat.table_path("parsed")).drop("batch")
+    t_parse = time.time()
+
+    # ---- stage B1: corpus + doc stats -------------------------------------
+    if not cat.has_table("corpus_stats"):
+        stats = parsed.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_length").alias("avg_doc_length"),
+            F.sum("doc_length").alias("total_tokens"),
+        )
+        cat.write_table(stats, "corpus_stats")
+    if not cat.has_table("doc_stats"):
+        doc_stats = parsed.select(
+            "bucket", "doc_id", "url", "warc_ts", "doc_length",
+            "max_tf", "unique_terms",
+        )
+        cat.write_table(doc_stats, "doc_stats", partition_by=["bucket"])
+
+    # ---- stage B2: vocabulary (prune + rewrite) + term stats --------------
+    if not cat.has_table("term_stats"):
+        vocab = build_vocabulary(parsed)
+        cat.write_table(
+            vocab.select(F.col("final_term").alias("term"), "df",
+                         F.col("term").alias("source_term")),
+            "term_stats",
+        )
+    term_stats = cat.read_table(spark, "term_stats")
+
+    # ---- stage B3: postings (the one big shuffle) -------------------------
+    cstats = cat.read_table(spark, "corpus_stats").collect()[0]
+    n_docs = int(cstats["n_docs"])
+    avg_dl = float(cstats["avg_doc_length"])
+
+    if not cat.has_table("postings"):
+        exploded = _explode_terms(parsed)
+        vocab_map = term_stats.select(
+            F.col("source_term").alias("term"),
+            F.col("term").alias("final_term"),
+            "df",
+        )
+        bucket_postings = (
+            exploded.join(vocab_map, "term")
+            .groupBy("bucket", "final_term", "df")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "doc_length", "tf"))
+                ).alias("postings"),
+                F.count("*").alias("local_df"),
+            )
+            .withColumnRenamed("final_term", "term")
+        )
+        if compress:
+            from search_engine_spark.operators.codec import encode_postings_df
+
+            bucket_postings = encode_postings_df(
+                bucket_postings, cfg, n_docs, avg_dl
+            )
+        out = bucket_postings.repartition("bucket").sortWithinPartitions(
+            "bucket", "term"
+        )
+        cat.write_table(
+            out, "postings", partition_by=["bucket"],
+            max_records_per_file=cfg.max_records_per_file,
+        )
+    wall = time.time() - t0
+    metrics = {
+        "n_docs": int(n_docs),
+        "wall_sec": wall,
+        "parse_sec": t_parse - t0,
+        "docs_per_sec": (int(n_docs) / wall) if wall > 0 else math.inf,
+        "compressed": compress,
+        "num_buckets": cfg.num_buckets,
+    }
+    cat.finish_build(metrics)
+    return metrics
