@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also used locally).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Included headline work:
+- the search-engine pipeline itself: web_pages fixture index build
+  (docs/sec) + batched BM25 top-10 latency over the 25-query fixture set,
+- the SQL-gate flagship (se_bm25_topk) and representative pipeline
+  operators (term_df, minhash LSH dedup, brute-force ANN, sessionize).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+#: web_pages fixture rows for the index-build benchmark
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
+CACHE_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_CACHE", os.path.join(os.path.dirname(__file__), ".bench_cache")
+)
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.session import get_spark
+
+    cfg = EngineConfig(num_buckets=int(CPUS), shuffle_partitions=int(CPUS))
+    spark = get_spark("bench", master=f"local[{CPUS}]", config=cfg)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- engine: index build + query latency over web_pages fixture --------
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    fixture = os.path.join(CACHE_DIR, f"web_pages_{N_PAGES}.parquet")
+    if not os.path.exists(fixture):
+        from search_engine_spark.sources.fixtures import write_web_pages
+
+        write_web_pages(fixture, N_PAGES)
+
+    index_path = os.path.join(CACHE_DIR, f"index_{N_PAGES}_{CPUS}")
+    shutil.rmtree(index_path, ignore_errors=True)
+
+    def build():
+        from search_engine_spark.operators.index_build import build_index
+
+        pages = spark.read.parquet(fixture)
+        return build_index(spark, pages, index_path, cfg, resume_batches=1)
+
+    metrics = timed("index_build", build)
+    extra["index_docs_per_sec"] = round(metrics["n_docs"] / timings["index_build"], 1)
+    extra["index_n_docs"] = metrics["n_docs"]
+
+    def run_queries():
+        from search_engine_spark.operators.search import BM25SearchEngine
+        from search_engine_spark.sources.fixtures import FIXTURE_QUERIES
+
+        engine = BM25SearchEngine(spark, index_path, cfg)
+        return engine.search_batch(FIXTURE_QUERIES, k=10).collect()
+
+    rows = timed("bm25_query_batch", run_queries)
+    extra["bm25_ms_per_query"] = round(
+        1000.0 * timings["bm25_query_batch"] / 25, 1
+    )
+    extra["bm25_result_rows"] = len(rows)
+
+    # --- SQL-gate flagship + representative pipeline operators -------------
+    import __spark_entry__ as e
+
+    q = e.queries()
+    for name in [
+        "se_bm25_topk",
+        "se_term_df",
+        "dedup_minhash_lsh",
+        "sim_bruteforce_topk",
+        "text_fingerprint",
+        "rel_pricing_summary",
+        "rel_sessionize",
+    ]:
+        timed(name, lambda n=name: q[n](spark, SF_DIR).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+                "extra": extra,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""SQL-parity BM25 retrieval over the ``documents`` table.
+
+The driver-gate (flagship) variant of the query engine: same scoring
+semantics as the reference searcher/ranker — nonstandard tf = tf/doc_length
+(searcher.py:113-124), idf = log10(N/df) (searcher.py:126-136), BM25
+k=1.2 b=0.75 summed per query term (ranker.py:91-102), min-match
+int(0.35·|q|) candidate prune (searcher.py:67-68) — but over the simple
+SQL-expressible tokenizer so DuckDB can run the identical computation as an
+oracle. The full parity tokenizer + combined cosine scoring is exercised by
+tests/test_parity.py instead.
+
+The Spark plan is the scale-shaped one: the query-term relation is a
+broadcast join against postings; aggregations are partial+final hash aggs;
+top-k uses a window (global TakeOrdered equivalent).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from search_engine_spark.pipelines.common import SQL_TOKENS, load, tokens_col
+
+#: fixed benchmark query (terms exist in the synthetic documents vocabulary)
+DEFAULT_QUERY = ("spark", "query", "window", "data")
+K = 1.2
+B = 0.75
+MIN_MATCH = 0.35
+TOP_K = 10
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens_col()).alias("term")
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    k: int = TOP_K,
+) -> DataFrame:
+    threshold = int(len(query_terms) * MIN_MATCH)
+
+    toks = _doc_tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # N counts docs with >=1 token, matching the oracle's dl-derived stats
+    n_docs = dl.count()
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+    avg_dl = dl.agg(F.avg("dl")).collect()[0][0]
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn("tfn", F.col("tf") / F.col("dl"))
+        .withColumn("idf", F.log10(F.lit(n_docs) / F.col("df")))
+        .withColumn(
+            "contrib",
+            (F.col("idf") * F.col("tfn") * (K + 1))
+            / (F.col("tfn") + K * (1 - B + B * (F.col("dl") / F.lit(avg_dl)))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count("*").cast("long").alias("matched"),
+        )
+        .filter(F.col("matched") >= threshold)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "doc_id", "score", "matched")
+    )
+
+
+def sql_bm25_topk(query_terms: tuple[str, ...] = DEFAULT_QUERY, k: int = TOP_K) -> str:
+    qlist = ", ".join(f"'{t}'" for t in query_terms)
+    threshold = int(len(query_terms) * MIN_MATCH)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avg_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+  WHERE term IN ({qlist}) GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+  WHERE term IN ({qlist}) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( (log10(stats.n_docs / df.df) * (tf.tf::DOUBLE / dl.dl) * ({K} + 1))
+              / ((tf.tf::DOUBLE / dl.dl)
+                 + {K} * (1 - {B} + {B} * (dl.dl / stats.avg_dl))) ) AS raw_score,
+         count(*)::BIGINT AS matched
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY tf.doc_id
+  HAVING count(*) >= {threshold}
+)
+SELECT row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id ASC)::INT AS rank,
+       doc_id, round(raw_score, 6) AS score, matched
+FROM scored
+ORDER BY rank
+LIMIT {k}
+"""
+
+
+def minmatch_candidates(
+    spark: SparkSession, sf_dir: str,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+) -> DataFrame:
+    threshold = int(len(query_terms) * MIN_MATCH)
+    toks = _doc_tokens(spark, sf_dir)
+    return (
+        toks.filter(F.col("term").isin(*query_terms))
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("matched"))
+        .filter(F.col("matched") >= threshold)
+    )
+
+
+def sql_minmatch_candidates(query_terms: tuple[str, ...] = DEFAULT_QUERY) -> str:
+    qlist = ", ".join(f"'{t}'" for t in query_terms)
+    threshold = int(len(query_terms) * MIN_MATCH)
+    return f"""
+SELECT doc_id, count(DISTINCT term)::BIGINT AS matched
+FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+WHERE term IN ({qlist})
+GROUP BY doc_id
+HAVING count(DISTINCT term) >= {threshold}
+"""

@@ -1,0 +1,314 @@
+"""Text-analysis operators over the ``documents`` table (driver-gate set).
+
+Each operator has a Spark DataFrame implementation and a DuckDB oracle SQL
+string with matching column names/types. These mirror the reference
+pipeline's stages on the SQL-expressible simple tokenizer (the full parity
+tokenizer is covered by tests/oracle.py): cleaning (P5), token counting
+(A1), document frequency (A3), corpus stats (A2), idf (Q2), postings (A7),
+capital folding (A5), entity extraction (P9), plus the training-data text
+ops (language-ID, quality scoring, BPE-ish token counting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from search_engine_spark.pipelines.common import (
+    SQL_HASH60, SQL_STOPWORDS, SQL_TOKENS, load, portable_hash60,
+    sql_stopword_list, tokens_col,
+)
+
+URL_RE = r"http\S+|www.\S+"
+ENTITY_RE = "([A-Z][a-zA-Z0-9]*(?: [A-Z][a-zA-Z0-9]*)+)"
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+# --- cleaning (P5 analog) ---------------------------------------------------
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", URL_RE, "").alias("clean_text"),
+        F.length(F.regexp_replace("text", URL_RE, "")).alias("clean_len"),
+    )
+
+
+SQL_CLEAN_TEXT = r"""
+SELECT doc_id,
+       regexp_replace(text, 'http\S+|www.\S+', '', 'g') AS clean_text,
+       length(regexp_replace(text, 'http\S+|www.\S+', '', 'g')) AS clean_len
+FROM documents
+"""
+
+
+# --- token counting (A1 analog) --------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col())).cast("long").alias("n_unique"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len({SQL_TOKENS})::BIGINT AS n_tokens,
+       len(list_distinct({SQL_TOKENS}))::BIGINT AS n_unique
+FROM documents
+"""
+
+
+# --- document frequency (A3 analog) -----------------------------------------
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+SQL_TERM_DF = f"""
+SELECT term, count(*)::BIGINT AS df
+FROM (SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS term FROM documents)
+GROUP BY term
+"""
+
+
+# --- corpus stats (A2 analog) -----------------------------------------------
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(F.size(tokens_col()).alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avg_doc_length"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+SELECT count(*)::BIGINT AS n_docs,
+       round(avg(dl), 6) AS avg_doc_length,
+       sum(dl)::BIGINT AS total_tokens
+FROM (SELECT len({SQL_TOKENS}) AS dl FROM documents)
+"""
+
+
+# --- idf (Q2 analog: log10(N/df), df>1 prune M5) ----------------------------
+
+def q_term_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    return (
+        q_term_df(spark, sf_dir)
+        .filter(F.col("df") > 1)
+        .select("term", "df", F.round(F.log10(F.lit(n) / F.col("df")), 6).alias("idf"))
+    )
+
+
+SQL_TERM_IDF = f"""
+WITH df AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS term FROM documents)
+  GROUP BY term
+)
+SELECT term, df,
+       round(log10((SELECT count(*) FROM documents)::DOUBLE / df), 6) AS idf
+FROM df WHERE df > 1
+"""
+
+
+# --- postings rows (A7 analog) ----------------------------------------------
+
+def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+SQL_POSTINGS = f"""
+SELECT term, doc_id, count(*)::BIGINT AS tf
+FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents)
+GROUP BY term, doc_id
+"""
+
+
+# --- capital-letter AND-fold (A5/M7 analog) ---------------------------------
+
+def q_capitals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), "[^a-zA-Z0-9]+"), lambda x: x != ""
+    )
+    return (
+        docs.select(F.explode(toks).alias("tok"))
+        .select(
+            F.lower("tok").alias("term"),
+            F.col("tok").rlike("^[A-Z]").alias("cap"),
+        )
+        .groupBy("term")
+        .agg(
+            F.bool_and("cap").alias("always_cap"),
+            F.count("*").cast("long").alias("occurrences"),
+        )
+        .filter(F.col("always_cap"))
+    )
+
+
+SQL_CAPITALS = """
+SELECT lower(tok) AS term,
+       bool_and(regexp_matches(tok, '^[A-Z]')) AS always_cap,
+       count(*)::BIGINT AS occurrences
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+)
+GROUP BY lower(tok)
+HAVING bool_and(regexp_matches(tok, '^[A-Z]'))
+"""
+
+
+# --- entity chunking (P9 analog) --------------------------------------------
+
+def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.regexp_extract_all("text", F.lit(ENTITY_RE), 1)).alias("entity")
+        )
+        .groupBy("entity")
+        .agg(F.count("*").cast("long").alias("mentions"))
+    )
+
+
+SQL_ENTITIES = f"""
+SELECT entity, count(*)::BIGINT AS mentions
+FROM (SELECT unnest(regexp_extract_all(text, '{ENTITY_RE}', 1)) AS entity
+      FROM documents)
+GROUP BY entity
+"""
+
+
+# --- language ID (n-gram/stopword heuristic) --------------------------------
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*SQL_STOPWORDS)))
+    ratio = F.round(stop_hits / F.greatest(F.size(toks), F.lit(1)), 6)
+    return docs.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio > 0.04, "en").otherwise("other").alias("lang_pred"),
+        "lang",
+    )
+
+
+SQL_LANGID = f"""
+WITH t AS (
+  SELECT doc_id, lang, {SQL_TOKENS} AS toks FROM documents
+)
+SELECT doc_id,
+       round(len(list_filter(toks, x -> x IN ({sql_stopword_list()})))::DOUBLE
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       CASE WHEN round(len(list_filter(toks, x -> x IN ({sql_stopword_list()})))::DOUBLE
+             / greatest(len(toks), 1), 6) > 0.04 THEN 'en' ELSE 'other' END AS lang_pred,
+       lang
+FROM t
+"""
+
+
+# --- quality scoring ---------------------------------------------------------
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9]", ""))
+            / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("digit_ratio"),
+        F.round(
+            (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+            / F.greatest(n_tok, F.lit(1)),
+            6,
+        ).alias("spaces_per_token"),
+    )
+
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len({SQL_TOKENS})::BIGINT AS n_tokens,
+       round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 6) AS digit_ratio,
+       round((length(text) - length(replace(text, ' ', '')))::DOUBLE
+             / greatest(len({SQL_TOKENS}), 1), 6) AS spaces_per_token
+FROM documents
+"""
+
+
+# --- BPE-ish token counting --------------------------------------------------
+
+def q_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+SQL_BPE_COUNT = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{BPE_RE}', 0))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+# --- document fingerprint (order-insensitive token-hash sum) ----------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("term")
+    )
+    h31 = F.pmod(portable_hash60(F.col("term")), F.lit(2147483647))
+    return (
+        exploded.select("doc_id", h31.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.pmod(F.sum("h"), F.lit(2147483647)).cast("long").alias("fingerprint"),
+            F.count("*").cast("long").alias("n_unique"),
+        )
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       (sum({SQL_HASH60.format(col='term')} % 2147483647)
+        % 2147483647)::BIGINT AS fingerprint,
+       count(*)::BIGINT AS n_unique
+FROM (SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS term FROM documents)
+GROUP BY doc_id
+"""
