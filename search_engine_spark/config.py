@@ -53,4 +53,8 @@ class EngineConfig:
 
     # --- spark tuning -------------------------------------------------------
     shuffle_partitions: int = 32
+    #: minimum parse-stage parallelism; None → defaultParallelism. Only used
+    #: when the input scan has fewer splits (small local corpora) — a
+    #: production-size table always has enough file splits already.
+    parse_partitions: int | None = None
     extra_spark_conf: dict = field(default_factory=dict)

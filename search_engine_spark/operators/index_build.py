@@ -104,6 +104,57 @@ def build_vocabulary(parsed: DataFrame) -> DataFrame:
     return vocab
 
 
+def _with_glove_vec(spark: SparkSession, parsed: DataFrame,
+                    cfg: EngineConfig) -> DataFrame:
+    """doc_stats with a per-doc mean embedding column (A6, indexer.py:54-61).
+
+    The embedding dict is broadcast once; vectors are accumulated in the
+    doc's distinct-term insertion order (float64) so scores stay
+    rank-identical with the oracle.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StringType,
+        StructField, StructType, TimestampType,
+    )
+
+    from search_engine_spark.functions.glove import doc_vector, load_glove
+
+    glove_b = spark.sparkContext.broadcast(load_glove(cfg.glove_path))
+    dim = cfg.glove_dim
+    schema = StructType(
+        [
+            StructField("bucket", IntegerType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("url", StringType(), True),
+            StructField("warc_ts", TimestampType(), True),
+            StructField("doc_length", IntegerType(), True),
+            StructField("max_tf", IntegerType(), True),
+            StructField("unique_terms", IntegerType(), True),
+            StructField("glove_vec", ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        glove = glove_b.value
+        for pdf in batches:
+            vecs = [
+                doc_vector((t["term"] for t in terms), glove, dim)
+                for terms in pdf["terms"]
+            ]
+            out = pdf.drop(columns=["terms"])
+            out["glove_vec"] = [np.asarray(v) for v in vecs]
+            yield out
+
+    return parsed.select(
+        "bucket", "doc_id", "url", "warc_ts", "doc_length",
+        "max_tf", "unique_terms", "terms",
+    ).mapInPandas(fn, schema=schema)
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -128,6 +179,14 @@ def build_index(
     # the bucket space, each with its own manifest entry (rows + wall time):
     # a killed build resumes by skipping committed batches (north_rule
     # per-partition lineage; tested in tests/test_resume.py).
+    #
+    # Parallelism guard: a production table has >> cores input splits, but a
+    # small local corpus can land in a single 128 MB split, serializing the
+    # (CPU-bound) tokenizer. If the scan has fewer partitions than cores,
+    # spread it — the repartition shuffle is a no-op at real scale because
+    # the guard never fires there.
+    target_par = cfg.parse_partitions or spark.sparkContext.defaultParallelism
+    scan_par = pages.rdd.getNumPartitions()
     if not cat.is_complete("parsed"):
         done = set(cat.completed_batches("parsed"))
         for i in range(resume_batches):
@@ -140,6 +199,8 @@ def build_index(
                 )
                 == i
             )
+            if scan_par < target_par:
+                subset = subset.repartition(target_par)
             cat.append_batch(
                 parse_corpus(subset, cfg),
                 "parsed",
@@ -163,6 +224,8 @@ def build_index(
             "bucket", "doc_id", "url", "warc_ts", "doc_length",
             "max_tf", "unique_terms",
         )
+        if cfg.glove_path:
+            doc_stats = _with_glove_vec(spark, parsed, cfg)
         cat.write_table(doc_stats, "doc_stats", partition_by=["bucket"])
 
     # ---- stage B2: vocabulary (prune + rewrite) + term stats --------------

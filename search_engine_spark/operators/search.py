@@ -12,7 +12,15 @@ searcher.py:22-136, ranker.py:17-109):
   shard: decode blobs, document-at-a-time merge, min-match prune
   (int(0.35·|q|), searcher.py:67-68), vectorized scoring with the
   reference's exact formulas (nonstandard BM25 ranker.py:91-102, weighted
-  tf-idf cosine ranker.py:80), local top-k with score ties kept;
+  tf-idf cosine ranker.py:80); in the pure-BM25 ranking mode the shard pass
+  uses block-max WAND (operators/wand.py) and decodes only the blocks whose
+  upper bound can reach the running top-k;
+- optional GloVe-style embedding component (reference ranker.py:78,
+  search_engine.py:13-23 — made optional here): per-doc mean vector from
+  ``doc_stats.glove_vec``, query vector driver-side, cosine added after the
+  shard pass with a widened local top-k margin (±w_glove bounds the
+  post-hoc score shift, so the widened boundary provably keeps every global
+  top-k candidate);
 - one global TakeOrderedAndProject equivalent (window row_number ≤ k) with
   the reference tie-break: score desc, timestamp desc, doc key desc
   (ranker.py:51-63 takes the *last* k of an ascending (score, date) sort).
@@ -77,80 +85,62 @@ def _build_query_meta(queries, cfg: EngineConfig, term_df: dict[str, int],
             "idf_row": idf_row,
             "q_row0": q_row0,
             "terms": sorted(positions),
+            "tokens": tokens,
         }
     return meta
 
 
-def _make_scorer(qmeta: dict, avg_dl: float, cfg: EngineConfig, k: int):
-    """applyInPandas scorer for one (qid, bucket) group of posting rows."""
-    bm_k, bm_b = cfg.bm25_k, cfg.bm25_b
-    w_cos, w_bm25 = cfg.w_cosine, cfg.w_bm25
+def _make_scorer(qmeta: dict, avg_dl: float, cfg: EngineConfig, k: int,
+                 use_wand: bool, topk_margin: float):
+    """applyInPandas scorer for one (qid, bucket) group of posting rows.
+
+    ``topk_margin`` widens the tie-keeping local top-k boundary: with the
+    embedding component enabled the final score shifts by at most ±w_glove,
+    so keeping everything with partial score >= kth - 2·w_glove keeps every
+    possible global top-k member.
+    """
 
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from search_engine_spark.operators.codec import decode_posting_list
+        from search_engine_spark.operators.wand import (
+            bmw_score_lists, score_decoded,
+        )
 
         qid = int(key[0])
         m = qmeta[qid]
-        n_q, threshold = m["n"], m["threshold"]
-        idf_row, q_row0, positions = m["idf_row"], m["q_row0"], m["positions"]
+        empty = pd.DataFrame(columns=["qid", "doc_id", "score", "matched"])
+        if not len(pdf):
+            return empty
 
-        ids_parts, dl_parts, tf_parts, term_parts = [], [], [], []
-        for row in pdf.itertuples(index=False):
-            ids, dls, tfs = decode_posting_list(bytes(row.blob))
-            ids_parts.append(ids)
-            dl_parts.append(dls)
-            tf_parts.append(tfs)
-            term_parts.append(row.term)
-        if not ids_parts:
-            return pd.DataFrame(columns=["qid", "doc_id", "score", "matched"])
+        if use_wand:
+            cand_ids, score, cand_matched, _stats = bmw_score_lists(
+                [r.term for r in pdf.itertuples(index=False)],
+                [bytes(r.blob) for r in pdf.itertuples(index=False)],
+                [np.asarray(r.block_last, np.int64)
+                 for r in pdf.itertuples(index=False)],
+                [np.asarray(r.block_max, np.float64)
+                 for r in pdf.itertuples(index=False)],
+                m, avg_dl, cfg, k,
+            )
+        else:
+            ids_parts, dl_parts, tf_parts, term_parts = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                ids, dls, tfs = decode_posting_list(bytes(row.blob))
+                ids_parts.append(ids)
+                dl_parts.append(dls)
+                tf_parts.append(tfs)
+                term_parts.append(row.term)
+            cand_ids, score, cand_matched = score_decoded(
+                ids_parts, dl_parts, tf_parts, term_parts, m, avg_dl, cfg
+            )
+        if len(cand_ids) == 0:
+            return empty
 
-        all_ids = np.concatenate(ids_parts)
-        unique_ids, inverse = np.unique(all_ids, return_inverse=True)
-        matched = np.bincount(inverse, minlength=len(unique_ids))
-        keep = matched >= threshold
-        if not keep.any():
-            return pd.DataFrame(columns=["qid", "doc_id", "score", "matched"])
-
-        n_u = len(unique_ids)
-        M = np.zeros((n_u, n_q))       # tf = tf_count/doc_length per position
-        dl_u = np.zeros(n_u)
-        off = 0
-        for t_i, term in enumerate(term_parts):
-            ids = ids_parts[t_i]
-            rows = inverse[off:off + len(ids)]
-            off += len(ids)
-            tfn = tf_parts[t_i] / dl_parts[t_i]
-            for p in positions[term]:
-                M[rows, p] = tfn
-            dl_u[rows] = dl_parts[t_i]
-
-        M = M[keep]
-        dl_u = dl_u[keep]
-        cand_ids = unique_ids[keep]
-        cand_matched = matched[keep]
-
-        # weighted tf-idf cosine (ranker.py:80,104-109)
-        doc_w = M * idf_row
-        q_w = q_row0 * idf_row
-        dots = doc_w @ q_w
-        denom = np.sqrt((doc_w * doc_w).sum(axis=1)) * np.sqrt((q_w * q_w).sum())
-        cos = np.where((denom == 0) | (dots == 0), 0.0,
-                       np.divide(dots, denom, out=np.zeros_like(dots),
-                                 where=denom != 0))
-
-        # nonstandard BM25 summed over query positions (ranker.py:91-102)
-        bm = (
-            (idf_row * M * (bm_k + 1))
-            / (M + bm_k * (1 - bm_b + bm_b * (dl_u[:, None] / avg_dl)))
-        ).sum(axis=1)
-
-        score = w_cos * cos + w_bm25 * bm
-
-        # local top-k, keeping score ties at the boundary so the global
-        # timestamp tie-break stays exact across buckets
+        # local top-k, keeping score ties (and the embedding margin) at the
+        # boundary so the global tie-break stays exact across buckets
         if len(score) > k:
             kth = np.partition(score, -k)[-k]
-            sel = score >= kth
+            sel = score >= kth - topk_margin
         else:
             sel = np.ones(len(score), bool)
         return pd.DataFrame(
@@ -179,6 +169,11 @@ class BM25SearchEngine:
         self.postings = self.cat.read_table(spark, "postings")
         self.doc_stats = self.cat.read_table(spark, "doc_stats")
         self.term_stats = self.cat.read_table(spark, "term_stats")
+        self.glove: dict[str, np.ndarray] | None = None
+        if self.cfg.glove_path:
+            from search_engine_spark.functions.glove import load_glove
+
+            self.glove = load_glove(self.cfg.glove_path)
 
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:
         if not terms:
@@ -190,9 +185,32 @@ class BM25SearchEngine:
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
-    def search_batch(self, queries: list[tuple[int, str]], k: int = 10) -> DataFrame:
-        """queries: [(qid, text)] → DataFrame(qid, rank, url, score, warc_ts)."""
+    @property
+    def _glove_enabled(self) -> bool:
+        return self.glove is not None and self.cfg.w_glove != 0.0
+
+    def search_batch(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        use_wand: bool | None = None,
+    ) -> DataFrame:
+        """queries: [(qid, text)] → DataFrame(qid, rank, url, score, warc_ts).
+
+        ``use_wand=None`` auto-enables block-max WAND exactly when the score
+        is decomposable (pure-BM25 ranking: w_cosine == w_glove == 0); the
+        reference-parity combined score always scores exhaustively.
+        """
         cfg = self.cfg
+        decomposable = cfg.w_cosine == 0.0 and not self._glove_enabled
+        if use_wand is None:
+            use_wand = decomposable
+        elif use_wand and not decomposable:
+            raise ValueError(
+                "block-max WAND is only score-safe in pure-BM25 ranking mode "
+                "(w_cosine == 0 and no embedding component); the combined "
+                "reference score does not decompose over terms"
+            )
         all_terms = sorted(
             {t for _, text in queries for t in parse_sentence(text).tokens}
         )
@@ -214,13 +232,20 @@ class BM25SearchEngine:
         qterms = self.spark.createDataFrame(pairs, "qid long, term string")
         matched = self.postings.join(F.broadcast(qterms), "term")
 
+        margin = 2.0 * cfg.w_glove if self._glove_enabled else 0.0
         scored = matched.groupBy("qid", "bucket").applyInPandas(
-            _make_scorer(qmeta, self.avg_dl, cfg, k), schema=_SCORED_SCHEMA
+            _make_scorer(qmeta, self.avg_dl, cfg, k, use_wand, margin),
+            schema=_SCORED_SCHEMA,
         )
 
-        with_docs = scored.join(
-            self.doc_stats.select("doc_id", "url", "warc_ts"), "doc_id"
-        )
+        doc_cols = ["doc_id", "url", "warc_ts"]
+        if self._glove_enabled:
+            doc_cols.append("glove_vec")
+        with_docs = scored.join(self.doc_stats.select(*doc_cols), "doc_id")
+
+        if self._glove_enabled:
+            with_docs = self._add_glove_score(with_docs, qmeta)
+
         w = Window.partitionBy("qid").orderBy(
             F.desc("score"), F.desc("warc_ts"), F.desc("url")
         )
@@ -230,5 +255,38 @@ class BM25SearchEngine:
             .select("qid", "rank", "url", "score", "warc_ts")
         )
 
-    def search(self, text: str, k: int = 10) -> DataFrame:
-        return self.search_batch([(0, text)], k=k).drop("qid")
+    def _add_glove_score(self, with_docs: DataFrame, qmeta: dict) -> DataFrame:
+        """score += w_glove · cosine(doc_vec, query_vec) (ranker.py:78,85-88).
+
+        Query vectors are tiny (one per query) and ride the UDF closure;
+        the cosine runs Arrow-batched over (qid, glove_vec) pairs.
+        """
+        from search_engine_spark.functions.glove import query_vector
+
+        w_glove = float(self.cfg.w_glove)
+        dim = self.cfg.glove_dim
+        qvecs = {
+            qid: query_vector(m["tokens"], self.glove, dim)
+            for qid, m in qmeta.items()
+        }
+
+        @F.pandas_udf(DoubleType())
+        def glove_cos(qid: pd.Series, vec: pd.Series) -> pd.Series:
+            out = np.zeros(len(qid))
+            for i, (q, v) in enumerate(zip(qid.to_numpy(), vec)):
+                qv = qvecs[int(q)]
+                dv = np.asarray(v, np.float64)
+                num = np.dot(dv, qv)
+                den = np.linalg.norm(dv) * np.linalg.norm(qv)
+                if den != 0 and num != 0:
+                    out[i] = num / den
+            return pd.Series(out)
+
+        return with_docs.withColumn(
+            "score",
+            F.col("score") + w_glove * glove_cos(F.col("qid"), F.col("glove_vec")),
+        ).drop("glove_vec")
+
+    def search(self, text: str, k: int = 10,
+               use_wand: bool | None = None) -> DataFrame:
+        return self.search_batch([(0, text)], k=k, use_wand=use_wand).drop("qid")
