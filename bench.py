@@ -43,7 +43,12 @@ def main() -> None:
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.session import get_spark
 
-    cfg = EngineConfig(num_buckets=int(CPUS), shuffle_partitions=int(CPUS))
+    cfg = EngineConfig(
+        num_buckets=int(CPUS),
+        shuffle_partitions=int(CPUS),
+        files_max_partition_bytes=8 * 1024 * 1024,
+        files_open_cost_bytes=8 * 1024 * 1024,
+    )
     spark = get_spark("bench", master=f"local[{CPUS}]", config=cfg)
     spark.sparkContext.setLogLevel("ERROR")
 

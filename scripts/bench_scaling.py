@@ -44,64 +44,93 @@ def make_pyfiles_zip(dest: str) -> str:
     return dest
 
 
-def run_level(cpus: int, pages: str, work: str, runs: int, zip_path: str) -> dict:
+def run_one(cpus: int, pages: str, work: str, zip_path: str, tag: str) -> dict:
     spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
-    results = []
-    for i in range(runs + 1):  # first run = warm-up, discarded
-        index_path = os.path.join(work, f"index_c{cpus}_r{i}")
-        cmd = [
-            spark_submit,
-            "--master", f"local[{cpus}]",
-            "--py-files", zip_path,
-            "--conf", "spark.driver.memory=8g",
-            os.path.join(REPO, "scripts", "scaling_job.py"),
-            "--pages", pages,
-            "--index-path", index_path,
-            "--cpus", str(cpus),
-        ]
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-        shutil.rmtree(index_path, ignore_errors=True)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-        if not line:
-            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-            raise RuntimeError(f"scaling_job produced no JSON (cpus={cpus})")
-        rec = json.loads(line[-1])
-        tag = "warmup" if i == 0 else f"run{i}"
-        print(f"[local[{cpus}] {tag}] {rec}", file=sys.stderr)
-        if i > 0:
-            results.append(rec)
-    med = lambda k: statistics.median(r[k] for r in results)  # noqa: E731
-    return {
-        "cpus": cpus,
-        "runs": results,
-        "median_docs_per_sec": med("docs_per_sec"),
-        "median_build_sec": med("build_sec"),
-        "median_ms_per_query": med("ms_per_query"),
-        "n_docs": results[0]["n_docs"],
-    }
+    index_path = os.path.join(work, f"index_c{cpus}_{tag}")
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cpus}]",
+        "--py-files", zip_path,
+        "--conf", "spark.driver.memory=48g",
+        os.path.join(REPO, "scripts", "scaling_job.py"),
+        "--pages", pages,
+        "--index-path", index_path,
+        "--cpus", str(cpus),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    shutil.rmtree(index_path, ignore_errors=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"scaling_job produced no JSON (cpus={cpus})")
+    rec = json.loads(line[-1])
+    print(f"[local[{cpus}] {tag}] {rec}", file=sys.stderr)
+    return rec
+
+
+def run_levels(levels: list, pages: str, work: str, runs: int,
+               zip_path: str) -> dict:
+    """Interleave the levels round-robin so every level samples the same
+    noise windows (this sandbox host shows multi-minute contention bursts
+    that would otherwise bias whichever level ran during one)."""
+    for c in levels:  # one discarded warm-up per level (page cache)
+        run_one(c, pages, work, zip_path, "warmup")
+    by_level: dict[int, list] = {c: [] for c in levels}
+    for i in range(runs):
+        for c in levels:
+            by_level[c].append(run_one(c, pages, work, zip_path, f"run{i+1}"))
+    out = {}
+    for c, results in by_level.items():
+        med = lambda k: statistics.median(r[k] for r in results)  # noqa: E731
+        out[str(c)] = {
+            "cpus": c,
+            "runs": results,
+            "median_docs_per_sec": med("docs_per_sec"),
+            "best_docs_per_sec": max(r["docs_per_sec"] for r in results),
+            "median_build_sec": med("build_sec"),
+            "median_ms_per_query": med("ms_per_query"),
+            "spread_docs_per_sec": [
+                min(r["docs_per_sec"] for r in results),
+                max(r["docs_per_sec"] for r in results),
+            ],
+            "n_docs": results[0]["n_docs"],
+        }
+    return out
 
 
 def update_baseline_md(summary: dict) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     with open(path, encoding="utf-8") as f:
         text = f.read()
-    n8, n32 = summary["levels"]["8"], summary["levels"]["32"]
-    table = (
-        "| metric | local[8] | local[32] | efficiency | notes |\n"
-        "|---|---|---|---|---|\n"
-        f"| index build (docs/sec) | {n8['median_docs_per_sec']:.1f} | "
-        f"{n32['median_docs_per_sec']:.1f} | "
-        f"{summary['scaling_efficiency']:.2f} | "
-        f"{n8['n_docs']} docs, median of {len(n8['runs'])} runs, "
-        "1 warm-up discarded, fresh JVM per run |\n"
-        f"| BM25 top-10 latency (ms/query, median) | "
-        f"{n8['median_ms_per_query']:.1f} | {n32['median_ms_per_query']:.1f} | "
-        "— | 25-query fixture batch |\n"
-    )
-    marker = "| metric | local[8] | local[32] | efficiency | notes |"
+    lv = summary["levels"]
+    keys = sorted(lv, key=int)
+    hdr = " | ".join(f"local[{c}]" for c in keys)
+    n0 = lv[keys[0]]
+    rows = [
+        f"| metric | {hdr} | notes |",
+        "|---" * (len(keys) + 2) + "|",
+        "| index build docs/sec (median) | "
+        + " | ".join(f"{lv[c]['median_docs_per_sec']:.0f}" for c in keys)
+        + f" | {n0['n_docs']} docs, median of {len(n0['runs'])} interleaved "
+          "runs, 1 warm-up/level discarded, fresh JVM per run |",
+        "| index build docs/sec (best) | "
+        + " | ".join(f"{lv[c]['best_docs_per_sec']:.0f}" for c in keys)
+        + " | best run ≈ least host interference |",
+        "| BM25 top-10 ms/query (median) | "
+        + " | ".join(f"{lv[c]['median_ms_per_query']:.0f}" for c in keys)
+        + " | 25-query fixture batch |",
+    ]
+    for pair, eff in summary.get("pairs", {}).items():
+        rows.append(
+            f"| scaling efficiency {pair} (N→4N) | "
+            + " | ".join("—" for _ in keys)
+            + f" | median {eff['efficiency_median']:.2f}, "
+              f"best-run {eff['efficiency_best']:.2f} |"
+        )
+    marker = "| metric | local"
     head = text.split(marker)[0]
     with open(path, "w", encoding="utf-8") as f:
-        f.write(head + table)
+        f.write(head + "\n".join(rows) + "\n")
 
 
 def main() -> None:
@@ -123,20 +152,29 @@ def main() -> None:
 
     levels = [int(x) for x in args.levels.split(",")]
     out = {"levels": {}, "n_pages": args.n_pages}
-    for cpus in levels:
-        out["levels"][str(cpus)] = run_level(cpus, pages, work, args.runs, zip_path)
+    out["levels"] = run_levels(levels, pages, work, args.runs, zip_path)
 
-    lo, hi = str(min(levels)), str(max(levels))
-    ratio = max(levels) / min(levels)
-    out["scaling_efficiency"] = round(
-        (out["levels"][hi]["median_docs_per_sec"]
-         / out["levels"][lo]["median_docs_per_sec"]) / ratio,
-        3,
+    # efficiency for every N → 4N pair present
+    out["pairs"] = {}
+    for lo_l in levels:
+        hi_l = lo_l * 4
+        if hi_l in levels:
+            lo, hi = str(lo_l), str(hi_l)
+            out["pairs"][f"{lo}->{hi}"] = {
+                "efficiency_median": round(
+                    (out["levels"][hi]["median_docs_per_sec"]
+                     / out["levels"][lo]["median_docs_per_sec"]) / 4, 3),
+                "efficiency_best": round(
+                    (out["levels"][hi]["best_docs_per_sec"]
+                     / out["levels"][lo]["best_docs_per_sec"]) / 4, 3),
+            }
+    first = sorted(out["pairs"])
+    out["scaling_efficiency"] = (
+        out["pairs"][first[0]]["efficiency_median"] if first else None
     )
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
-    if set(levels) == {8, 32}:
-        update_baseline_md(out)
+    update_baseline_md(out)
     print(json.dumps({
         "scaling_efficiency": out["scaling_efficiency"],
         "docs_per_sec": {

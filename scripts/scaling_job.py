@@ -25,6 +25,8 @@ def main() -> None:
     ap.add_argument("--index-path", required=True)
     ap.add_argument("--cpus", type=int, required=True, help="cores of this level")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--parse-partitions", type=int, default=None)
     args = ap.parse_args()
 
     from search_engine_spark.config import EngineConfig
@@ -33,10 +35,17 @@ def main() -> None:
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources.fixtures import FIXTURE_QUERIES
 
+    # Index layout (num_buckets) is held CONSTANT across cluster sizes —
+    # the scaling protocol varies only compute parallelism, so both levels
+    # produce the identical index; shuffle/parse parallelism track cores.
     cfg = EngineConfig(
-        num_buckets=args.cpus,
-        shuffle_partitions=args.cpus,
-        parse_partitions=2 * args.cpus,
+        num_buckets=32,
+        shuffle_partitions=args.shuffle_partitions or 2 * args.cpus,
+        parse_partitions=args.parse_partitions or 2 * args.cpus,
+        # small splits: a few-hundred-MB staged table must still fan out
+        # across every core (production tables have >> cores splits)
+        files_max_partition_bytes=8 * 1024 * 1024,
+        files_open_cost_bytes=8 * 1024 * 1024,
     )
     spark = get_spark("scaling_job", config=cfg)
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,6 +64,8 @@ def main() -> None:
     print(json.dumps({
         "cpus": args.cpus,
         "n_docs": metrics["n_docs"],
+        "parse_sec": round(metrics["parse_sec"], 3),
+        "stage_sec": metrics.get("stage_sec", {}),
         "build_sec": round(build_sec, 3),
         "docs_per_sec": round(metrics["n_docs"] / build_sec, 1),
         "query_batch_sec": round(query_sec, 3),

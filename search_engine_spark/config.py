@@ -57,4 +57,9 @@ class EngineConfig:
     #: when the input scan has fewer splits (small local corpora) — a
     #: production-size table always has enough file splits already.
     parse_partitions: int | None = None
+    #: file-split sizing (spark.sql.files.*). Defaults match Spark; local
+    #: benches set these small so a few-hundred-MB staged table still fans
+    #: out across all cores instead of bin-packing into 2-3 splits.
+    files_max_partition_bytes: int = 134_217_728
+    files_open_cost_bytes: int = 4_194_304
     extra_spark_conf: dict = field(default_factory=dict)

@@ -218,17 +218,30 @@ def decode_posting_list(
 # ---------------------------------------------------------------------------
 
 ENCODED_COLUMNS = [
-    "bucket", "term", "df", "local_df", "blob", "block_last", "block_max",
+    "bucket", "term", "local_df", "blob", "block_last", "block_max",
 ]
 
 
-def encode_postings_df(bucket_postings, cfg: EngineConfig, n_docs: int, avg_dl: float):
-    """(bucket, term, postings array, local_df, df) → compressed rows.
+def encode_sorted_postings(sorted_rows, cfg: EngineConfig, avg_dl: float):
+    """Streaming group encoder over range-partitioned, sorted posting rows.
 
-    Runs as ``mapInPandas`` so encoding is distributed and Arrow-batched.
+    Input: (bucket, term, doc_id, doc_length, tf) rows, range-partitioned
+    on (bucket, term) and sorted by (bucket, term, doc_id) within each
+    partition — equal keys land in one partition, so every group is
+    contiguous within a partition's batch stream. The encoder walks the
+    flat Arrow batches, slices each (bucket, term) run as numpy views and
+    emits one compressed row per group, carrying the partial tail group
+    across batch boundaries. No aggregation buffers, no join, no
+    per-posting Python objects — this IS the reference's external k-way
+    merge (indexer.py:118-206) re-expressed as Spark's range shuffle plus
+    a single streaming pass.
+
+    ``block_max`` is stored idf-FREE (the tf-side factor
+    tfn·(k+1)/(tfn + k·(1−b+b·dl/avgdl)) only): idf = log10(N/df) is a
+    per-term constant, so the query side multiplies it in when computing
+    WAND bounds. Decoupling the encoder from global df removes the
+    vocabulary join from the build's hot path entirely.
     """
-    import math
-
     from pyspark.sql.types import (
         ArrayType, BinaryType, DoubleType, IntegerType, LongType,
         StringType, StructField, StructType,
@@ -238,7 +251,6 @@ def encode_postings_df(bucket_postings, cfg: EngineConfig, n_docs: int, avg_dl: 
         [
             StructField("bucket", IntegerType(), False),
             StructField("term", StringType(), False),
-            StructField("df", LongType(), False),
             StructField("local_df", LongType(), False),
             StructField("blob", BinaryType(), False),
             StructField("block_last", ArrayType(LongType()), False),
@@ -248,25 +260,92 @@ def encode_postings_df(bucket_postings, cfg: EngineConfig, n_docs: int, avg_dl: 
     block_size = cfg.block_size
     k, b = cfg.bm25_k, cfg.bm25_b
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {c: [] for c in ENCODED_COLUMNS}
-            for row in pdf.itertuples(index=False):
-                plist = row.postings  # array of {doc_id, doc_length, tf}
-                ids = np.fromiter((p["doc_id"] for p in plist), np.int64)
-                dls = np.fromiter((p["doc_length"] for p in plist), np.int64)
-                tfs = np.fromiter((p["tf"] for p in plist), np.int64)
-                idf = math.log10(n_docs / row.df)
-                blob, last, bmax = encode_posting_list(
-                    ids, dls, tfs, block_size, idf, avg_dl, k, b
-                )
-                out["bucket"].append(row.bucket)
-                out["term"].append(row.term)
-                out["df"].append(row.df)
-                out["local_df"].append(row.local_df)
-                out["blob"].append(blob)
-                out["block_last"].append(last)
-                out["block_max"].append(bmax)
-            yield pd.DataFrame(out)
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return bucket_postings.mapInPandas(fn, schema=schema)
+        carry = None  # (bucket, term, [ids...], [dls...], [tfs...])
+
+        def encoded_row(bucket, term, idp, dlp, tfp, sink):
+            ids = np.concatenate(idp) if len(idp) > 1 else idp[0]
+            dls = np.concatenate(dlp) if len(dlp) > 1 else dlp[0]
+            tfs = np.concatenate(tfp) if len(tfp) > 1 else tfp[0]
+            blob, last, bmax = encode_posting_list(
+                ids, dls, tfs, block_size, 1.0, avg_dl, k, b
+            )
+            sink["bucket"].append(int(bucket))
+            sink["term"].append(term)
+            sink["local_df"].append(len(ids))
+            sink["blob"].append(blob)
+            sink["block_last"].append(last)
+            sink["block_max"].append(bmax)
+
+        def to_batch(sink):
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(sink["bucket"], pa.int32()),
+                    pa.array(sink["term"], pa.string()),
+                    pa.array(sink["local_df"], pa.int64()),
+                    pa.array(sink["blob"], pa.binary()),
+                    pa.array(sink["block_last"], pa.list_(pa.int64())),
+                    pa.array(sink["block_max"], pa.list_(pa.float64())),
+                ],
+                names=ENCODED_COLUMNS,
+            )
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            bcol = batch.column("bucket").to_numpy(zero_copy_only=False)
+            tcol = batch.column("term")
+            if pa.types.is_dictionary(tcol.type):
+                tcol = tcol.cast(pa.string())
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = batch.column("doc_length").to_numpy(zero_copy_only=False).astype(np.int64)
+            tfs = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+
+            if n > 1:
+                tchg = pc.not_equal(
+                    tcol.slice(1), tcol.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+                chg = np.flatnonzero(tchg | (bcol[1:] != bcol[:-1])) + 1
+            else:
+                chg = np.zeros(0, np.int64)
+            starts = np.concatenate(([0], chg))
+            ends = np.concatenate((chg, [n]))
+            gterms = tcol.take(pa.array(starts, pa.int64())).to_pylist()
+
+            sink = {c: [] for c in ENCODED_COLUMNS}
+            for g in range(len(starts)):
+                s, e = int(starts[g]), int(ends[g])
+                gb, gt = int(bcol[s]), gterms[g]
+                seg = (ids[s:e], dls[s:e], tfs[s:e])
+                if carry is not None and carry[0] == gb and carry[1] == gt:
+                    carry[2].append(seg[0])
+                    carry[3].append(seg[1])
+                    carry[4].append(seg[2])
+                    cur = carry
+                else:
+                    if carry is not None:
+                        encoded_row(carry[0], carry[1], carry[2], carry[3],
+                                    carry[4], sink)
+                    cur = [gb, gt, [seg[0]], [seg[1]], [seg[2]]]
+                carry = cur
+                if g < len(starts) - 1:
+                    # group is closed by the next one in this batch
+                    encoded_row(carry[0], carry[1], carry[2], carry[3],
+                                carry[4], sink)
+                    carry = None
+            if sink["term"]:
+                yield to_batch(sink)
+
+        if carry is not None:
+            sink = {c: [] for c in ENCODED_COLUMNS}
+            encoded_row(carry[0], carry[1], carry[2], carry[3], carry[4], sink)
+            yield to_batch(sink)
+
+    return sorted_rows.select(
+        "bucket", "term", "doc_id", "doc_length", "tf"
+    ).mapInArrow(fn, schema=schema)
+

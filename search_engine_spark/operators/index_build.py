@@ -59,14 +59,36 @@ def _explode_terms(parsed: DataFrame) -> DataFrame:
     )
 
 
+def sorted_posting_rows(parsed: DataFrame, config: EngineConfig) -> DataFrame:
+    """THE wide shuffle: range-partition + sort the exploded posting rows.
+
+    ``repartitionByRange(bucket, term)`` + ``sortWithinPartitions(bucket,
+    term, doc_id)`` makes every (bucket, term) group contiguous inside one
+    partition — exactly what Spark's sort-merge shuffle machinery does
+    natively, replacing the reference's manual spill + external k-way
+    merge (indexer.py:110-253). Grouping on (bucket, term) rather than
+    term alone is the hot-term salting (bucket = doc-hash salt): a
+    stopword-adjacent high-DF term's rows spread over all buckets instead
+    of one reducer. No collect_list aggregation buffers, no wide-row
+    materialization — the downstream encoder streams over the sorted rows.
+    """
+    return (
+        _explode_terms(parsed)
+        .repartitionByRange(config.shuffle_partitions, "bucket", "term")
+        .sortWithinPartitions("bucket", "term", "doc_id")
+    )
+
+
 def build_vocabulary(parsed: DataFrame) -> DataFrame:
     """Vocabulary with final (possibly uppercased) term and global df.
 
-    Returns (term, final_term, df) for surviving terms only.
+    Returns (term, final_term, df) for surviving terms only. The df
+    aggregation shuffles only map-side partial counts (one row per term
+    per task), not the exploded relation.
     """
-    exploded = _explode_terms(parsed)
-
-    df_raw = exploded.groupBy("term").agg(F.count("*").alias("df"))
+    df_raw = _explode_terms(parsed).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
 
     # A5: bool AND across docs of the per-doc capital flag (min ≡ AND)
     capitals = (
@@ -201,15 +223,22 @@ def build_index(
             )
             if scan_par < target_par:
                 subset = subset.repartition(target_par)
-            cat.append_batch(
-                parse_corpus(subset, cfg),
-                "parsed",
-                str(i),
-                partition_by=["bucket"],
-            )
+            cat.append_batch(parse_corpus(subset, cfg), "parsed", str(i))
         cat.finalize_batched_table("parsed")
+    # Read-side parallelism for the staged table comes from split sizing
+    # (EngineConfig.files_max_partition_bytes / files_open_cost_bytes):
+    # a repartition here would re-shuffle the full parsed relation in every
+    # downstream job; split-size tuning gives the same fan-out for free.
     parsed = spark.read.parquet(cat.table_path("parsed")).drop("batch")
     t_parse = time.time()
+    stage_sec: dict[str, float] = {}
+
+    def _mark(name: str, since: list) -> None:
+        now = time.time()
+        stage_sec[name] = round(now - since[0], 3)
+        since[0] = now
+
+    _t = [t_parse]
 
     # ---- stage B1: corpus + doc stats -------------------------------------
     if not cat.has_table("corpus_stats"):
@@ -227,8 +256,19 @@ def build_index(
         if cfg.glove_path:
             doc_stats = _with_glove_vec(spark, parsed, cfg)
         cat.write_table(doc_stats, "doc_stats", partition_by=["bucket"])
+    _mark("stats", _t)
 
     # ---- stage B2: vocabulary (prune + rewrite) + term stats --------------
+    # Postings carry the RAW lowercase vocabulary; pruning (df==1) and the
+    # uppercase rewrite (M5-M7) live in term_stats only, and the query
+    # engine gates every query term through term_stats before touching
+    # postings — semantically identical to pruning the postings themselves
+    # (a pruned/rewritten term simply never reaches the posting lookup),
+    # but it keeps the build free of any vocabulary join.
+    cstats = cat.read_table(spark, "corpus_stats").collect()[0]
+    n_docs = int(cstats["n_docs"])
+    avg_dl = float(cstats["avg_doc_length"])
+
     if not cat.has_table("term_stats"):
         vocab = build_vocabulary(parsed)
         cat.write_table(
@@ -236,44 +276,22 @@ def build_index(
                          F.col("term").alias("source_term")),
             "term_stats",
         )
-    term_stats = cat.read_table(spark, "term_stats")
+    _mark("term_stats", _t)
 
-    # ---- stage B3: postings (the one big shuffle) -------------------------
-    cstats = cat.read_table(spark, "corpus_stats").collect()[0]
-    n_docs = int(cstats["n_docs"])
-    avg_dl = float(cstats["avg_doc_length"])
-
+    # ---- stage B3: postings — ONE range shuffle + streaming encode --------
     if not cat.has_table("postings"):
-        exploded = _explode_terms(parsed)
-        vocab_map = term_stats.select(
-            F.col("source_term").alias("term"),
-            F.col("term").alias("final_term"),
-            "df",
-        )
-        bucket_postings = (
-            exploded.join(vocab_map, "term")
-            .groupBy("bucket", "final_term", "df")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("doc_id", "doc_length", "tf"))
-                ).alias("postings"),
-                F.count("*").alias("local_df"),
-            )
-            .withColumnRenamed("final_term", "term")
-        )
-        if compress:
-            from search_engine_spark.operators.codec import encode_postings_df
+        from search_engine_spark.operators.codec import encode_sorted_postings
 
-            bucket_postings = encode_postings_df(
-                bucket_postings, cfg, n_docs, avg_dl
-            )
-        out = bucket_postings.repartition("bucket").sortWithinPartitions(
-            "bucket", "term"
+        encoded = encode_sorted_postings(
+            sorted_posting_rows(parsed, cfg), cfg, avg_dl
         )
+        # range partitioning already clusters by bucket → the partitioned
+        # write needs no extra repartition
         cat.write_table(
-            out, "postings", partition_by=["bucket"],
+            encoded, "postings", partition_by=["bucket"],
             max_records_per_file=cfg.max_records_per_file,
         )
+    _mark("postings", _t)
     wall = time.time() - t0
     metrics = {
         "n_docs": int(n_docs),
@@ -282,6 +300,7 @@ def build_index(
         "docs_per_sec": (int(n_docs) / wall) if wall > 0 else math.inf,
         "compressed": compress,
         "num_buckets": cfg.num_buckets,
+        "stage_sec": stage_sec,
     }
     cat.finish_build(metrics)
     return metrics

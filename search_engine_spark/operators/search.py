@@ -230,7 +230,14 @@ class BM25SearchEngine:
             return empty
 
         qterms = self.spark.createDataFrame(pairs, "qid long, term string")
-        matched = self.postings.join(F.broadcast(qterms), "term")
+        # Explicit isin filter BEFORE the broadcast join: a join alone scans
+        # every postings row, but a literal predicate on the sorted `term`
+        # column pushes into the parquet scan (row-group min/max +
+        # dictionary pruning) — .explain shows PushedFilters: [In(term, ...)]
+        known = sorted({t for _, t in pairs})
+        matched = self.postings.filter(F.col("term").isin(known)).join(
+            F.broadcast(qterms), "term"
+        )
 
         margin = 2.0 * cfg.w_glove if self._glove_enabled else 0.0
         scored = matched.groupBy("qid", "bucket").applyInPandas(

@@ -177,7 +177,9 @@ def bmw_score_lists(
     )
     nb = np.array([len(x) for x in block_lasts], np.int64)
     total_blocks = int(nb.sum())
-    ub = w * mult * np.array(
+    # block_max is stored idf-free (codec.encode_sorted_postings); the
+    # per-term idf multiplies in here
+    ub = w * mult * idf * np.array(
         [bm.max() if len(bm) else 0.0 for bm in block_maxes]
     )
 
@@ -247,7 +249,7 @@ def bmw_score_lists(
             idx = np.searchsorted(block_lasts[t], cand, side="left")
             valid = idx < nb[t]
             add = np.zeros(len(cand))
-            add[valid] = w * mult[t] * block_maxes[t][idx[valid]]
+            add[valid] = w * mult[t] * idf[t] * block_maxes[t][idx[valid]]
             adds[t] = add
             bound += add
         surv = bound >= theta if np.isfinite(theta) else np.ones(len(cand), bool)

@@ -34,7 +34,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.maxPartitionBytes",
+                str(cfg.files_max_partition_bytes))
+        .config("spark.sql.files.openCostInBytes",
+                str(cfg.files_open_cost_bytes))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

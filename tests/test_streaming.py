@@ -1,0 +1,138 @@
+"""Structured Streaming: incremental index staging (SURVEY.md §7 M7).
+
+The reference has no incremental maintenance — a new corpus file means a
+full rebuild (indexer.py is one-shot). The Spark-native extension streams a
+landing directory with exactly-once micro-batches (checkpointed
+foreachBatch) into a staging postings table; compaction folds staging into
+the main index. These tests assert:
+
+1. files landing across two micro-batch rounds each get parsed exactly once
+   (checkpoint replay safety — re-running the stream adds nothing);
+2. staging rows agree with a batch parse of the same corpus.
+"""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_spark.config import EngineConfig
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "incoming": str(tmp_path / "incoming"),
+        "staging": str(tmp_path / "staging"),
+        "checkpoint": str(tmp_path / "checkpoint"),
+    }
+    os.makedirs(d["incoming"])
+    return d
+
+
+def _land(incoming: str, name: str, n_rows: int, offset: int) -> None:
+    """Write a slice of the fixture corpus as one landing file."""
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.sources.fixtures import generate_web_pages
+
+    table = generate_web_pages(offset + n_rows).slice(offset, n_rows)
+    pq.write_table(table, os.path.join(incoming, name))
+
+
+def test_incremental_staging_exactly_once(spark, dirs):
+    from search_engine_spark.streaming.incremental import incremental_index_update
+
+    cfg = EngineConfig(num_buckets=4)
+
+    _land(dirs["incoming"], "part-000.parquet", 120, 0)
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
+    )
+    n1 = spark.read.parquet(dirs["staging"]).count()
+    assert n1 > 0
+
+    # second round: a new file lands; only its rows are appended
+    _land(dirs["incoming"], "part-001.parquet", 80, 120)
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
+    )
+    n2 = spark.read.parquet(dirs["staging"]).count()
+    assert n2 > n1
+
+    # replay with nothing new: checkpoint makes it a no-op
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
+    )
+    assert spark.read.parquet(dirs["staging"]).count() == n2
+
+
+def test_incremental_staging_matches_batch_parse(spark, dirs):
+    from search_engine_spark.operators.parse import parse_corpus
+    from search_engine_spark.streaming.incremental import incremental_index_update
+
+    cfg = EngineConfig(num_buckets=4)
+    _land(dirs["incoming"], "part-000.parquet", 150, 0)
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
+    )
+
+    staged = (
+        spark.read.parquet(dirs["staging"])
+        .groupBy().agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("doc_id").alias("docs"),
+            F.sum("tf").alias("tf_sum"),
+        ).collect()[0]
+    )
+    batch = parse_corpus(
+        spark.read.parquet(dirs["incoming"]), cfg
+    ).select(
+        "doc_id", F.explode("terms").alias("kv")
+    ).groupBy().agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum(F.col("kv.tf")).alias("tf_sum"),
+    ).collect()[0]
+
+    assert staged["rows"] == batch["rows"]
+    assert staged["docs"] == batch["docs"]
+    assert staged["tf_sum"] == batch["tf_sum"]
+
+
+def test_compaction_into_main_index(spark, dirs, tmp_path):
+    """Staged + existing corpus compact into a queryable index equal to a
+    from-scratch build over the union."""
+    shutil.rmtree(dirs["staging"], ignore_errors=True)
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.search import BM25SearchEngine
+    from search_engine_spark.sources.fixtures import generate_web_pages
+
+    import pyarrow.parquet as pq
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    full = generate_web_pages(300)
+    base_path = str(tmp_path / "base.parquet")
+    more_path = os.path.join(dirs["incoming"], "more.parquet")
+    pq.write_table(full.slice(0, 200), base_path)
+    pq.write_table(full.slice(200, 100), more_path)
+
+    # compaction = rebuild over the union of base + landed files
+    union_idx = str(tmp_path / "union_idx")
+    pages = spark.read.parquet(base_path).unionByName(
+        spark.read.parquet(dirs["incoming"])
+    )
+    build_index(spark, pages, union_idx, cfg, resume_batches=1)
+
+    ref_idx = str(tmp_path / "ref_idx")
+    all_path = str(tmp_path / "all.parquet")
+    pq.write_table(full, all_path)
+    build_index(spark, spark.read.parquet(all_path), ref_idx, cfg,
+                resume_batches=1)
+
+    q = [(1, "term0000 term0003"), (2, "term0001")]
+    a = BM25SearchEngine(spark, union_idx, cfg).search_batch(q, k=5).collect()
+    b = BM25SearchEngine(spark, ref_idx, cfg).search_batch(q, k=5).collect()
+    key = lambda r: (r["qid"], r["rank"], r["url"], round(r["score"], 10))  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))

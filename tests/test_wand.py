@@ -114,8 +114,9 @@ def test_wand_prunes_hot_term_blocks():
         ("hot", hot_ids, hot_dl, hot_tf),
         ("rare", rare_ids, rare_dl, rare_tf),
     ]:
+        # the index stores block_max idf-free; WAND multiplies idf in
         blob, last, bmax = encode_posting_list(
-            ids, dls, tfs, cfg.block_size, idf[t], avg_dl, cfg.bm25_k, cfg.bm25_b
+            ids, dls, tfs, cfg.block_size, 1.0, avg_dl, cfg.bm25_k, cfg.bm25_b
         )
         blobs[t], lasts[t], maxes[t] = blob, last, bmax
 
