@@ -1,0 +1,88 @@
+"""Physical-plan assertions: pushdown, pruning, and join strategy.
+
+The 100 TB design depends on plan properties that silent regressions can
+destroy: the query path's term predicate must reach the parquet scan
+(row-group pruning over the sorted term column), the parse stage must not
+read the heavy ``html`` column, and the query-term join must broadcast.
+These tests pin them via .explain capture.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from search_engine_spark.config import EngineConfig
+
+
+def _explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tiny_corpus_path, tmp_path_factory):
+    from search_engine_spark.operators.index_build import build_index
+
+    index_path = str(tmp_path_factory.mktemp("plans") / "idx")
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    build_index(spark, spark.read.parquet(tiny_corpus_path), index_path, cfg,
+                resume_batches=1)
+    return index_path, cfg
+
+
+def test_parse_scan_prunes_html(spark, tiny_corpus_path):
+    """The parse stage projects (url, warc_ts, text) — the scan's
+    ReadSchema must not include the binary html column."""
+    from search_engine_spark.operators.parse import parse_corpus
+
+    pages = spark.read.parquet(tiny_corpus_path)
+    plan = _explain(parse_corpus(pages), "formatted")
+    scan = [b for b in plan.split("\n\n") if "ReadSchema" in b]
+    assert scan, plan
+    assert "html" not in scan[0], scan[0]
+    assert "text:string" in scan[0]
+
+
+def test_query_term_filter_pushed_to_parquet(spark, small_index):
+    """postings.filter(term isin ...) must show PushedFilters: [In(term,...)]"""
+    import pyspark.sql.functions as F
+
+    from search_engine_spark.operators.search import BM25SearchEngine
+
+    index_path, cfg = small_index
+    engine = BM25SearchEngine(spark, index_path, cfg)
+    df = engine.postings.filter(F.col("term").isin(["term0001", "term0002"]))
+    plan = _explain(df, "formatted")
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "EqualTo(term" in plan, plan
+
+
+def test_query_join_is_broadcast(spark, small_index):
+    """The query-terms ⋈ postings join must be a broadcast hash join —
+    a shuffle of the postings table per query batch would be wrong at any
+    scale."""
+    from search_engine_spark.operators.search import BM25SearchEngine
+    from search_engine_spark.sources.fixtures import FIXTURE_QUERIES
+
+    index_path, cfg = small_index
+    engine = BM25SearchEngine(spark, index_path, cfg)
+    result = engine.search_batch(FIXTURE_QUERIES[:3], k=5)
+    plan = _explain(result, "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    # the big postings relation must NOT be exchanged by the query join:
+    # the only sort-merge join allowed is none
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_is_window_rank_with_partial_filter(spark, small_index):
+    from search_engine_spark.operators.search import BM25SearchEngine
+    from search_engine_spark.sources.fixtures import FIXTURE_QUERIES
+
+    index_path, cfg = small_index
+    engine = BM25SearchEngine(spark, index_path, cfg)
+    plan = _explain(engine.search_batch(FIXTURE_QUERIES[:2], k=5), "formatted")
+    assert "Window" in plan
+    assert "row_number" in plan
