@@ -81,6 +81,8 @@ def main() -> None:
     metrics = timed("index_build", build)
     extra["index_docs_per_sec"] = round(metrics["n_docs"] / timings["index_build"], 1)
     extra["index_n_docs"] = metrics["n_docs"]
+    for stage, sec in metrics.get("stage_sec", {}).items():
+        extra[f"index_{stage}_sec"] = sec
 
     def run_queries():
         from search_engine_spark.operators.search import BM25SearchEngine

@@ -44,10 +44,11 @@ def make_pyfiles_zip(dest: str) -> str:
     return dest
 
 
-def run_one(cpus: int, pages: str, work: str, zip_path: str, tag: str) -> dict:
+def run_one(cpus: int, pages: str, work: str, zip_path: str, tag: str,
+            pin: bool = False) -> dict:
     spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
     index_path = os.path.join(work, f"index_c{cpus}_{tag}")
-    cmd = [
+    cmd = ([] if not pin else ["taskset", "-c", f"0-{cpus - 1}"]) + [
         spark_submit,
         "--master", f"local[{cpus}]",
         "--py-files", zip_path,
@@ -69,16 +70,25 @@ def run_one(cpus: int, pages: str, work: str, zip_path: str, tag: str) -> dict:
 
 
 def run_levels(levels: list, pages: str, work: str, runs: int,
-               zip_path: str) -> dict:
+               zip_path: str, pin: bool = False) -> dict:
     """Interleave the levels round-robin so every level samples the same
     noise windows (this sandbox host shows multi-minute contention bursts
-    that would otherwise bias whichever level ran during one)."""
+    that would otherwise bias whichever level ran during one).
+
+    ``pin`` runs each level under ``taskset -c 0-(N-1)``: local[N] caps
+    Spark TASK SLOTS at N but JVM helper threads (GC, shuffle, parquet
+    codecs) and Python workers still run beyond N cores, inflating low-N
+    throughput and deflating the measured N→4N efficiency. Pinning makes
+    "cluster size N" mean N physical cores — the honest analog of an
+    N-executor cluster."""
     for c in levels:  # one discarded warm-up per level (page cache)
-        run_one(c, pages, work, zip_path, "warmup")
+        run_one(c, pages, work, zip_path, "warmup", pin)
     by_level: dict[int, list] = {c: [] for c in levels}
     for i in range(runs):
         for c in levels:
-            by_level[c].append(run_one(c, pages, work, zip_path, f"run{i+1}"))
+            by_level[c].append(
+                run_one(c, pages, work, zip_path, f"run{i+1}", pin)
+            )
     out = {}
     for c, results in by_level.items():
         med = lambda k: statistics.median(r[k] for r in results)  # noqa: E731
@@ -137,7 +147,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-pages", type=int, default=50_000)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each level to exactly N cores")
     ap.add_argument("--out", default=os.path.join(REPO, "scaling_results.json"))
     args = ap.parse_args()
 
@@ -152,7 +164,9 @@ def main() -> None:
 
     levels = [int(x) for x in args.levels.split(",")]
     out = {"levels": {}, "n_pages": args.n_pages}
-    out["levels"] = run_levels(levels, pages, work, args.runs, zip_path)
+    out["levels"] = run_levels(levels, pages, work, args.runs, zip_path,
+                               args.pin)
+    out["pinned"] = args.pin
 
     # efficiency for every N → 4N pair present
     out["pairs"] = {}

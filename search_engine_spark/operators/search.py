@@ -171,6 +171,12 @@ class BM25SearchEngine:
         self.term_stats = self.cat.read_table(spark, "term_stats")
         self.glove: dict[str, np.ndarray] | None = None
         if self.cfg.glove_path:
+            if "glove_vec" not in self.doc_stats.columns:
+                raise ValueError(
+                    "config enables the embedding component (glove_path set) "
+                    "but this index was built without doc vectors — rebuild "
+                    "with EngineConfig(glove_path=...) or unset glove_path"
+                )
             from search_engine_spark.functions.glove import load_glove
 
             self.glove = load_glove(self.cfg.glove_path)
