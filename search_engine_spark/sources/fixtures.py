@@ -100,8 +100,15 @@ def generate_web_pages(n_rows: int) -> pa.Table:
     )
 
 
-def write_web_pages(path: str, n_rows: int, row_group_size: int = 100_000) -> str:
-    """Write the fixture corpus to one parquet file; returns the path."""
+def write_web_pages(path: str, n_rows: int, row_group_size: int = 8_192) -> str:
+    """Write the fixture corpus as one parquet file.
+
+    Row groups are kept small (~15 MB): Spark's byte-range input splits
+    cannot cut inside a row group, so a single-file fixture with giant row
+    groups silently caps scan parallelism at the row-group count no matter
+    how many cores run — production web corpora come as thousands of
+    files, which this layout emulates within one file.
+    """
     table = generate_web_pages(n_rows)
     pq.write_table(table, path, compression="snappy",
                    row_group_size=row_group_size)
