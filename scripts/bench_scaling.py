@@ -131,10 +131,13 @@ def update_baseline_md(summary: dict) -> None:
         + " | 25-query fixture batch |",
     ]
     for pair, eff in summary.get("pairs", {}).items():
+        rm = eff.get("efficiency_round_median")
         rows.append(
             f"| scaling efficiency {pair} (N→4N) | "
             + " | ".join("—" for _ in keys)
-            + f" | median {eff['efficiency_median']:.2f}, "
+            + f" | round-paired median {rm:.2f} "
+              f"(rounds: {eff.get('efficiency_per_round')}), "
+              f"level-median {eff['efficiency_median']:.2f}, "
               f"best-run {eff['efficiency_best']:.2f} |"
         )
     marker = "| metric | local"
@@ -174,6 +177,15 @@ def main() -> None:
         hi_l = lo_l * 4
         if hi_l in levels:
             lo, hi = str(lo_l), str(hi_l)
+            lo_runs = out["levels"][lo]["runs"]
+            hi_runs = out["levels"][hi]["runs"]
+            # per-round pairing: round i's levels ran back-to-back, so they
+            # sampled the same host-noise window — the per-round ratio is
+            # the least noise-biased efficiency estimate
+            per_round = [
+                round(h["docs_per_sec"] / l["docs_per_sec"] / 4, 3)
+                for l, h in zip(lo_runs, hi_runs)
+            ]
             out["pairs"][f"{lo}->{hi}"] = {
                 "efficiency_median": round(
                     (out["levels"][hi]["median_docs_per_sec"]
@@ -181,6 +193,9 @@ def main() -> None:
                 "efficiency_best": round(
                     (out["levels"][hi]["best_docs_per_sec"]
                      / out["levels"][lo]["best_docs_per_sec"]) / 4, 3),
+                "efficiency_per_round": per_round,
+                "efficiency_round_median": round(
+                    statistics.median(per_round), 3) if per_round else None,
             }
     first = sorted(out["pairs"])
     out["scaling_efficiency"] = (
