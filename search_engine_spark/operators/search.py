@@ -92,7 +92,12 @@ def _build_query_meta(queries, cfg: EngineConfig, term_df: dict[str, int],
 
 def _make_scorer(qmeta: dict, avg_dl: float, cfg: EngineConfig, k: int,
                  use_wand: bool, topk_margin: float):
-    """applyInPandas scorer for one (qid, bucket) group of posting rows.
+    """applyInPandas scorer for one bucket's matched posting rows.
+
+    The group key is the BUCKET alone: every query in the batch scores
+    against the same decoded rows, so a posting list matched by several
+    queries is decoded once (shared block cache in the WAND path) and the
+    job schedules |buckets| groups instead of |queries|·|buckets|.
 
     ``topk_margin`` widens the tie-keeping local top-k boundary: with the
     embedding component enabled the final score shifts by at most ±w_glove,
@@ -103,54 +108,74 @@ def _make_scorer(qmeta: dict, avg_dl: float, cfg: EngineConfig, k: int,
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         from search_engine_spark.operators.codec import decode_posting_list
         from search_engine_spark.operators.wand import (
-            bmw_score_lists, score_decoded,
+            _ListCache, bmw_score_lists, score_decoded,
         )
 
-        qid = int(key[0])
-        m = qmeta[qid]
         empty = pd.DataFrame(columns=["qid", "doc_id", "score", "matched"])
         if not len(pdf):
             return empty
 
-        if use_wand:
-            cand_ids, score, cand_matched, _stats = bmw_score_lists(
-                [r.term for r in pdf.itertuples(index=False)],
-                [bytes(r.blob) for r in pdf.itertuples(index=False)],
-                [np.asarray(r.block_last, np.int64)
-                 for r in pdf.itertuples(index=False)],
-                [np.asarray(r.block_max, np.float64)
-                 for r in pdf.itertuples(index=False)],
-                m, avg_dl, cfg, k,
-            )
-        else:
-            ids_parts, dl_parts, tf_parts, term_parts = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                ids, dls, tfs = decode_posting_list(bytes(row.blob))
-                ids_parts.append(ids)
-                dl_parts.append(dls)
-                tf_parts.append(tfs)
-                term_parts.append(row.term)
-            cand_ids, score, cand_matched = score_decoded(
-                ids_parts, dl_parts, tf_parts, term_parts, m, avg_dl, cfg
-            )
-        if len(cand_ids) == 0:
-            return empty
+        terms = [r.term for r in pdf.itertuples(index=False)]
+        blobs = [bytes(r.blob) for r in pdf.itertuples(index=False)]
+        row_of = {t: i for i, t in enumerate(terms)}
+        out_frames = []
 
-        # local top-k, keeping score ties (and the embedding margin) at the
-        # boundary so the global tie-break stays exact across buckets
-        if len(score) > k:
-            kth = np.partition(score, -k)[-k]
-            sel = score >= kth - topk_margin
+        if use_wand:
+            lasts = [np.asarray(r.block_last, np.int64)
+                     for r in pdf.itertuples(index=False)]
+            maxes = [np.asarray(r.block_max, np.float64)
+                     for r in pdf.itertuples(index=False)]
+            shared = _ListCache(blobs, lasts)
+            for qid, m in qmeta.items():
+                sel = [row_of[t] for t in m["terms"] if t in row_of]
+                if not sel:
+                    continue
+                cand_ids, score, cand_matched, _stats = bmw_score_lists(
+                    [terms[i] for i in sel], [blobs[i] for i in sel],
+                    [lasts[i] for i in sel], [maxes[i] for i in sel],
+                    m, avg_dl, cfg, k, cache=shared, cache_rows=sel,
+                )
+                out_frames.append((qid, cand_ids, score, cand_matched))
         else:
-            sel = np.ones(len(score), bool)
-        return pd.DataFrame(
-            {
-                "qid": qid,
-                "doc_id": cand_ids[sel],
-                "score": score[sel],
-                "matched": cand_matched[sel].astype(np.int32),
-            }
-        )
+            decoded = [None] * len(terms)
+
+            def get(i):
+                if decoded[i] is None:
+                    decoded[i] = decode_posting_list(blobs[i])
+                return decoded[i]
+
+            for qid, m in qmeta.items():
+                sel = [row_of[t] for t in m["terms"] if t in row_of]
+                if not sel:
+                    continue
+                parts = [get(i) for i in sel]
+                cand_ids, score, cand_matched = score_decoded(
+                    [p[0] for p in parts], [p[1] for p in parts],
+                    [p[2] for p in parts], [terms[i] for i in sel],
+                    m, avg_dl, cfg,
+                )
+                out_frames.append((qid, cand_ids, score, cand_matched))
+
+        frames = []
+        for qid, cand_ids, score, cand_matched in out_frames:
+            if len(cand_ids) == 0:
+                continue
+            # local top-k, keeping score ties (and the embedding margin) at
+            # the boundary so the global tie-break stays exact across buckets
+            if len(score) > k:
+                kth = np.partition(score, -k)[-k]
+                sel_m = score >= kth - topk_margin
+            else:
+                sel_m = np.ones(len(score), bool)
+            frames.append(pd.DataFrame(
+                {
+                    "qid": qid,
+                    "doc_id": cand_ids[sel_m],
+                    "score": score[sel_m],
+                    "matched": cand_matched[sel_m].astype(np.int32),
+                }
+            ))
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     return score_group
 
@@ -223,30 +248,27 @@ class BM25SearchEngine:
         term_df = self._term_dfs(all_terms)
         qmeta = _build_query_meta(queries, cfg, term_df, self.n_docs)
 
-        pairs = [
-            (qid, t)
-            for qid, m in qmeta.items()
-            for t in m["terms"]
-            if t in term_df
-        ]
+        known = sorted(
+            {t for m in qmeta.values() for t in m["terms"] if t in term_df}
+        )
         empty = self.spark.createDataFrame(
             [], "qid long, rank int, url string, score double, warc_ts timestamp"
         )
-        if not pairs:
+        if not known:
             return empty
 
-        qterms = self.spark.createDataFrame(pairs, "qid long, term string")
-        # Explicit isin filter BEFORE the broadcast join: a join alone scans
-        # every postings row, but a literal predicate on the sorted `term`
-        # column pushes into the parquet scan (row-group min/max +
-        # dictionary pruning) — .explain shows PushedFilters: [In(term, ...)]
-        known = sorted({t for _, t in pairs})
-        matched = self.postings.filter(F.col("term").isin(known)).join(
-            F.broadcast(qterms), "term"
+        # Literal isin predicate (not a join): pushes into the parquet scan
+        # (row-group min/max + dictionary pruning on the sorted `term`
+        # column) — .explain shows PushedFilters: [In(term, ...)]. Each
+        # matched posting row ships to the scorer ONCE for the whole query
+        # batch; the per-bucket scorer fans it out to every query that
+        # contains the term (shared decode cache).
+        matched = self.postings.filter(F.col("term").isin(known)).select(
+            "bucket", "term", "blob", "block_last", "block_max"
         )
 
         margin = 2.0 * cfg.w_glove if self._glove_enabled else 0.0
-        scored = matched.groupBy("qid", "bucket").applyInPandas(
+        scored = matched.groupBy("bucket").applyInPandas(
             _make_scorer(qmeta, self.avg_dl, cfg, k, use_wand, margin),
             schema=_SCORED_SCHEMA,
         )

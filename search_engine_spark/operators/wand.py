@@ -157,6 +157,8 @@ def bmw_score_lists(
     cfg: EngineConfig,
     k: int,
     n_chunks: int = 16,
+    cache: "_ListCache | None" = None,
+    cache_rows: list[int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """Block-max MaxScore top-k over one shard's posting lists.
 
@@ -164,6 +166,11 @@ def bmw_score_lists(
     qualifying doc whose exact score ≥ the kth best qualifying score
     (ties kept) — exactly what exhaustive scoring + tie-keeping local top-k
     produces. ``stats`` reports decoded vs total blocks.
+
+    ``cache``/``cache_rows``: an optional shared :class:`_ListCache` over a
+    larger row set (multi-query batch scoring); ``cache_rows[i]`` is the
+    shared cache's row index for this call's list ``i``, so block decodes
+    are reused across the queries of a batch.
     """
     m = qmeta_entry
     positions, threshold = m["positions"], m["threshold"]
@@ -199,7 +206,21 @@ def bmw_score_lists(
             tfn + k1 * (1 - b + b * (dls / avg_dl))
         )
 
-    cachev = _ListCache(blobs, block_lasts)
+    if cache is not None:
+        shared, row_map = cache, list(cache_rows)
+        base_decoded = shared.decoded_blocks
+
+        class _View:
+            def get(self, t, blocks):
+                return shared.get(row_map[t], blocks)
+
+            @property
+            def decoded_blocks(self):
+                return shared.decoded_blocks - base_decoded
+
+        cachev = _View()
+    else:
+        cachev = _ListCache(blobs, block_lasts)
     all_last = np.unique(np.concatenate(block_lasts))
     step = max(2, -(-len(all_last) // n_chunks))
     uppers = np.concatenate((all_last[step - 1::step], all_last[-1:]))
