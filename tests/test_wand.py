@@ -145,3 +145,33 @@ def test_wand_prunes_hot_term_blocks():
     }
     assert got == expected
     assert stats["decoded_blocks"] < 0.5 * stats["total_blocks"], stats
+
+
+def test_shared_cache_dedups_block_decodes():
+    """Two queries sharing the hot term must not decode its blocks twice
+    when scored through a shared _ListCache (the multi-query batch path)."""
+    from search_engine_spark.operators.codec import encode_posting_list
+    from search_engine_spark.operators.wand import _ListCache, bmw_score_lists
+
+    cfg = EngineConfig(block_size=64, **PURE_BM25)
+    rng = np.random.RandomState(7)
+    n_docs, avg_dl = 5000, 80.0
+    ids = np.arange(0, 3000, dtype=np.int64)
+    dls = rng.randint(40, 160, size=len(ids)).astype(np.int64)
+    tfs = rng.randint(1, 5, size=len(ids)).astype(np.int64)
+    blob, last, bmax = encode_posting_list(
+        ids, dls, tfs, cfg.block_size, 1.0, avg_dl, cfg.bm25_k, cfg.bm25_b
+    )
+    df = {"hot": len(ids)}
+    shared = _ListCache([blob], [last])
+    for tokens in (["hot"], ["hot", "hot"]):
+        qmeta = _make_qmeta(df, n_docs, tokens, cfg)
+        cand, score, matched, stats = bmw_score_lists(
+            ["hot"], [blob], [last], [bmax], qmeta, avg_dl, cfg, 5,
+            cache=shared, cache_rows=[0],
+        )
+        assert len(cand) >= 5
+    n_blocks = len(last)
+    # both queries decode everything (single-list → no pruning), but the
+    # shared cache holds each block once
+    assert shared.decoded_blocks <= n_blocks
