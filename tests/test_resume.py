@@ -78,3 +78,40 @@ def test_killed_build_resumes(spark, tiny_corpus_path, tmp_path, monkeypatch):
     entries = CatalogAdapter(index_path)._load()["tables"]["parsed"]["batches"]
     assert len(entries) == 4
     assert all(e["rows"] > 0 and e["wall_sec"] > 0 for e in entries)
+
+
+def test_table_level_resume_skips_finished_stages(spark, tiny_corpus_path, tmp_path):
+    """A build killed between table commits resumes at the first missing
+    table — the staged parse and every committed table are not recomputed."""
+    import json
+    import os
+    import shutil
+
+    from search_engine_spark.operators import index_build
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    pages = spark.read.parquet(tiny_corpus_path)
+    index_path = str(tmp_path / "idx2")
+    index_build.build_index(spark, pages, index_path, cfg, resume_batches=2)
+
+    # simulate a crash right before the postings commit
+    cat = CatalogAdapter(index_path)
+    manifest = cat._load()
+    del manifest["tables"]["postings"]
+    with open(cat._manifest_path(), "w") as f:
+        json.dump(manifest, f)
+    shutil.rmtree(os.path.join(index_path, "postings"))
+
+    before = os.path.getmtime(os.path.join(index_path, "term_stats"))
+    metrics = index_build.build_index(
+        spark, pages, index_path, cfg, resume_batches=2
+    )
+    assert metrics["stage_sec"]["term_stats"] < 0.5  # skipped, not rebuilt
+    assert os.path.getmtime(os.path.join(index_path, "term_stats")) == before
+    assert cat.has_table("postings")
+
+    from search_engine_spark.operators.search import BM25SearchEngine
+    from search_engine_spark.sources.fixtures import FIXTURE_QUERIES
+
+    engine = BM25SearchEngine(spark, index_path, cfg)
+    assert engine.search_batch(FIXTURE_QUERIES[:3], k=5).count() > 0
