@@ -97,6 +97,33 @@ def main() -> None:
     )
     extra["bm25_result_rows"] = len(rows)
 
+    # --- reference-equivalent single-node baseline -------------------------
+    # The reference is a single-threaded pure-Python pipeline; its faithful
+    # reimplementation (tests/oracle.py) indexed over a fixture slice gives
+    # the single-node docs/sec the engine must match-or-beat.
+    def oracle_rate():
+        import pyarrow.parquet as pq
+
+        from tests.oracle import OracleEngine
+
+        t = pq.read_table(fixture, columns=["url", "warc_ts", "text"])
+        n = min(3000, t.num_rows)
+        eng = OracleEngine()
+        t0 = time.time()
+        for u, ts_, x in zip(
+            t["url"].to_pylist()[:n],
+            t["warc_ts"].to_pylist()[:n],
+            t["text"].to_pylist()[:n],
+        ):
+            eng.add_doc(u, ts_, x)
+        eng.finalize()
+        return n / (time.time() - t0)
+
+    extra["oracle_single_node_docs_per_sec"] = round(oracle_rate(), 1)
+    extra["speedup_vs_reference_single_node"] = round(
+        extra["index_docs_per_sec"] / extra["oracle_single_node_docs_per_sec"], 2
+    )
+
     # --- SQL-gate flagship + representative pipeline operators -------------
     import __spark_entry__ as e
 
