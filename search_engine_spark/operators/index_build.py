@@ -177,6 +177,37 @@ def _with_glove_vec(spark: SparkSession, parsed: DataFrame,
     ).mapInPandas(fn, schema=schema)
 
 
+def _estimate_scan_splits(pages: DataFrame, cfg: EngineConfig,
+                          fallback: int) -> int:
+    """Estimate the scan's split count from file metadata alone.
+
+    Avoids ``pages.rdd.getNumPartitions()`` which forces a DataFrame→RDD
+    conversion just to read a number. Splits ≈ max(n_files,
+    total_bytes / maxPartitionBytes) — exact enough for the small-corpus
+    parallelism guard (the only consumer); errs low for local files, which
+    at worst triggers a harmless repartition of a tiny input.
+    """
+    import os
+
+    try:
+        files = pages.inputFiles()
+    except Exception:
+        return fallback
+    if not files:
+        return fallback
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return len(files)
+    import math as _math
+
+    return max(len(files),
+               _math.ceil(total / max(cfg.files_max_partition_bytes, 1)))
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -208,7 +239,7 @@ def build_index(
     # spread it — the repartition shuffle is a no-op at real scale because
     # the guard never fires there.
     target_par = cfg.parse_partitions or spark.sparkContext.defaultParallelism
-    scan_par = pages.rdd.getNumPartitions()
+    scan_par = _estimate_scan_splits(pages, cfg, target_par)
     if not cat.is_complete("parsed"):
         done = set(cat.completed_batches("parsed"))
         for i in range(resume_batches):

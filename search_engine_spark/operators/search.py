@@ -105,7 +105,7 @@ def _make_scorer(qmeta: dict, avg_dl: float, cfg: EngineConfig, k: int,
     possible global top-k member.
     """
 
-    def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         from search_engine_spark.operators.codec import decode_posting_list
         from search_engine_spark.operators.wand import (
             _ListCache, bmw_score_lists, score_decoded,
@@ -267,7 +267,9 @@ class BM25SearchEngine:
             "bucket", "term", "blob", "block_last", "block_max"
         )
 
-        margin = 2.0 * cfg.w_glove if self._glove_enabled else 0.0
+        # abs(): the margin must *widen* the boundary for any sign of w_glove
+        # (a negative weight still shifts scores by at most |w_glove|).
+        margin = 2.0 * abs(cfg.w_glove) if self._glove_enabled else 0.0
         scored = matched.groupBy("bucket").applyInPandas(
             _make_scorer(qmeta, self.avg_dl, cfg, k, use_wand, margin),
             schema=_SCORED_SCHEMA,
@@ -307,14 +309,25 @@ class BM25SearchEngine:
 
         @F.pandas_udf(DoubleType())
         def glove_cos(qid: pd.Series, vec: pd.Series) -> pd.Series:
-            out = np.zeros(len(qid))
-            for i, (q, v) in enumerate(zip(qid.to_numpy(), vec)):
+            n = len(qid)
+            if n == 0:
+                return pd.Series(np.zeros(0))
+            # vectorized: stack the 25-d doc vectors into an (n, dim) matrix
+            # and batch the dot products per qid group (no per-row Python).
+            dv = np.stack([np.asarray(v, np.float64) for v in vec])
+            dnorm = np.linalg.norm(dv, axis=1)
+            out = np.zeros(n)
+            qids = qid.to_numpy()
+            for q in np.unique(qids):
                 qv = qvecs[int(q)]
-                dv = np.asarray(v, np.float64)
-                num = np.dot(dv, qv)
-                den = np.linalg.norm(dv) * np.linalg.norm(qv)
-                if den != 0 and num != 0:
-                    out[i] = num / den
+                qn = np.linalg.norm(qv)
+                m = qids == q
+                num = dv[m] @ qv
+                den = dnorm[m] * qn
+                ok = (den != 0) & (num != 0)
+                vals = np.zeros(m.sum())
+                vals[ok] = num[ok] / den[ok]
+                out[m] = vals
             return pd.Series(out)
 
         return with_docs.withColumn(
