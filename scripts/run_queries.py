@@ -38,12 +38,17 @@ def main() -> None:
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.operators.search import BM25SearchEngine
     from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.catalog import CatalogAdapter
 
+    # query tokenization must match the build: adopt the index's stamped
+    # stemming mode (BM25SearchEngine refuses a mismatch anyway)
+    stemming = bool(CatalogAdapter(args.index_path).properties().get(
+        "stemming", False))
     if args.bm25_only:
         cfg = EngineConfig(w_cosine=0.0, w_bm25=1.0, w_glove=0.0,
-                           glove_path=args.glove)
+                           glove_path=args.glove, stemming=stemming)
     else:
-        cfg = EngineConfig(glove_path=args.glove)
+        cfg = EngineConfig(glove_path=args.glove, stemming=stemming)
     spark = get_spark("run_queries", config=cfg)
     spark.sparkContext.setLogLevel("WARN")
 

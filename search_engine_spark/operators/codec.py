@@ -34,6 +34,16 @@ import pandas as pd
 
 from search_engine_spark.config import EngineConfig
 
+#: On-disk posting format version, stamped into the index manifest at build
+#: time. Version 2 = idf-FREE ``block_max`` (tf-side factor only; the query
+#: side multiplies idf in when computing WAND bounds) and no per-row df
+#: column. An index whose manifest predates this layout (or lacks the stamp)
+#: must NOT be used with block-max WAND — the bounds would get idf applied
+#: twice, silently under-estimating for idf < 1 and pruning valid top-k
+#: docs. ``BM25SearchEngine`` enforces this (falls back to exhaustive
+#: scoring / refuses an explicit use_wand=True).
+CODEC_FORMAT_VERSION = 2
+
 _HDR = np.dtype("<u4")
 
 

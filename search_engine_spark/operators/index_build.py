@@ -323,6 +323,15 @@ def build_index(
             max_records_per_file=cfg.max_records_per_file,
         )
     _mark("postings", _t)
+
+    # Stamp the on-disk layout + parse-mode so readers can validate
+    # compatibility (WAND safety depends on the idf-free block_max layout;
+    # query-side tokenization must match the build's stemming mode).
+    from search_engine_spark.operators.codec import CODEC_FORMAT_VERSION
+
+    cat.set_properties(
+        {"codec_format": CODEC_FORMAT_VERSION, "stemming": bool(cfg.stemming)}
+    )
     wall = time.time() - t0
     metrics = {
         "n_docs": int(n_docs),

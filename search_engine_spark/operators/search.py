@@ -58,7 +58,7 @@ _SCORED_SCHEMA = StructType(
 
 
 def _build_query_meta(queries, cfg: EngineConfig, term_df: dict[str, int],
-                      n_docs: int) -> dict:
+                      n_docs: int, stemmer=None) -> dict:
     """Per-query scoring metadata (driver-side; queries are tiny).
 
     idf = log10(N/df) for known terms else 0 (searcher.py:56-60,126-136);
@@ -66,7 +66,7 @@ def _build_query_meta(queries, cfg: EngineConfig, term_df: dict[str, int],
     """
     meta = {}
     for qid, text in queries:
-        tokens = parse_sentence(text).tokens
+        tokens = parse_sentence(text, stemmer=stemmer).tokens
         n = len(tokens)
         positions: dict[str, list[int]] = {}
         for i, t in enumerate(tokens):
@@ -185,9 +185,32 @@ class BM25SearchEngine:
 
     def __init__(self, spark: SparkSession, index_path: str,
                  config: EngineConfig | None = None):
+        from search_engine_spark.operators.codec import CODEC_FORMAT_VERSION
+
         self.spark = spark
         self.cfg = config or EngineConfig()
         self.cat = CatalogAdapter(index_path)
+        props = self.cat.properties()
+        # stemming is baked into the index vocabulary: querying a stemmed
+        # index unstemmed (or vice versa) silently matches nothing — refuse.
+        if "stemming" in props and bool(props["stemming"]) != self.cfg.stemming:
+            raise ValueError(
+                f"index at {index_path} was built with "
+                f"stemming={props['stemming']} but config has "
+                f"stemming={self.cfg.stemming}; query tokenization must "
+                "match the build"
+            )
+        self.stemmer = None
+        if self.cfg.stemming:
+            from search_engine_spark.functions.stemmer import Stemmer
+
+            self.stemmer = Stemmer()
+        # WAND is only safe on the idf-free block_max layout (format >= 2):
+        # older blobs stored idf-applied bounds, which would get idf applied
+        # twice at query time and silently prune valid top-k docs.
+        self.wand_capable = (
+            int(props.get("codec_format", 0)) >= CODEC_FORMAT_VERSION
+        )
         stats = self.cat.read_table(spark, "corpus_stats").collect()[0]
         self.n_docs = int(stats["n_docs"])
         self.avg_dl = float(stats["avg_doc_length"])
@@ -235,18 +258,30 @@ class BM25SearchEngine:
         cfg = self.cfg
         decomposable = cfg.w_cosine == 0.0 and not self._glove_enabled
         if use_wand is None:
-            use_wand = decomposable
+            use_wand = decomposable and self.wand_capable
         elif use_wand and not decomposable:
             raise ValueError(
                 "block-max WAND is only score-safe in pure-BM25 ranking mode "
                 "(w_cosine == 0 and no embedding component); the combined "
                 "reference score does not decompose over terms"
             )
+        elif use_wand and not self.wand_capable:
+            raise ValueError(
+                "this index predates the idf-free block_max layout "
+                "(codec_format < 2): block-max WAND bounds would apply idf "
+                "twice and silently drop valid top-k docs — rebuild the "
+                "index, or pass use_wand=False for exhaustive scoring"
+            )
         all_terms = sorted(
-            {t for _, text in queries for t in parse_sentence(text).tokens}
+            {
+                t
+                for _, text in queries
+                for t in parse_sentence(text, stemmer=self.stemmer).tokens
+            }
         )
         term_df = self._term_dfs(all_terms)
-        qmeta = _build_query_meta(queries, cfg, term_df, self.n_docs)
+        qmeta = _build_query_meta(queries, cfg, term_df, self.n_docs,
+                                  stemmer=self.stemmer)
 
         known = sorted(
             {t for m in qmeta.values() for t in m["terms"] if t in term_df}

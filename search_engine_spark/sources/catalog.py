@@ -165,6 +165,15 @@ class CatalogAdapter:
         t = self._load()["tables"].get(name)
         return bool(t and t.get("complete"))
 
+    # -- table/index properties (Iceberg table-properties analog) ----------
+    def set_properties(self, props: dict) -> None:
+        manifest = self._load()
+        manifest.setdefault("properties", {}).update(props)
+        self._commit(manifest, "set_properties")
+
+    def properties(self) -> dict:
+        return self._load().get("properties", {})
+
     # -- build metadata ----------------------------------------------------
     def finish_build(self, metrics: dict) -> None:
         manifest = self._load()

@@ -27,6 +27,11 @@ class OracleEngine:
     def __init__(self, config: EngineConfig | None = None, glove_dict=None):
         self.cfg = config or EngineConfig()
         self.glove = glove_dict or {}
+        self.stemmer = None
+        if self.cfg.stemming:
+            from search_engine_spark.functions.stemmer import Stemmer
+
+            self.stemmer = Stemmer()
         # term -> df  (reference inverted_idx without the file id)
         self.inverted_idx: dict[str, int] = {}
         # term -> list[(url, doc_length, tf)]
@@ -41,7 +46,7 @@ class OracleEngine:
 
     # -- build (indexer.py:33-108 semantics) --------------------------------
     def add_doc(self, url, warc_ts, text):
-        doc = parse_web_doc(url, text)
+        doc = parse_web_doc(url, text, stemmer=self.stemmer)
         if doc is None:
             return
         for term, cap in doc.capitals.items():
@@ -93,7 +98,7 @@ class OracleEngine:
     def search(self, query_text: str, k: int = 10):
         """Returns top-k as a list of (rank, url, score, warc_ts), rank 1 best."""
         cfg = self.cfg
-        query = parse_sentence(query_text).tokens
+        query = parse_sentence(query_text, stemmer=self.stemmer).tokens
         if not query:
             return []
         n_q = len(query)
