@@ -43,24 +43,29 @@ def bm25_topk(
 ) -> DataFrame:
     threshold = int(len(query_terms) * MIN_MATCH)
 
-    toks = _doc_tokens(spark, sf_dir)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    # N counts docs with >=1 token, matching the oracle's dl-derived stats
-    n_docs = dl.count()
-    tf = (
-        toks.filter(F.col("term").isin(*query_terms))
+    # One pass over the raw documents: tokenize once, aggregate per
+    # (doc_id, term) ONCE, and derive dl / tf / df / corpus stats from that
+    # relation — the tokenize→explode lineage must not be recomputed per
+    # derived table (at 100 TB re-tokenizing the corpus 4× dominates the
+    # query). doc_terms is tiny relative to the corpus (one row per
+    # distinct term per doc), so caching it is cheap; the production path
+    # reads these as prebuilt index tables (operators/search.py) — this is
+    # the raw-table SQL-gate variant.
+    doc_terms = (
+        _doc_tokens(spark, sf_dir)
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .cache()
     )
-    df = (
-        toks.select("doc_id", "term")
-        .distinct()
-        .filter(F.col("term").isin(*query_terms))
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
-
-    avg_dl = dl.agg(F.avg("dl")).collect()[0][0]
+    dl = doc_terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # N counts docs with >=1 token, matching the oracle's dl-derived stats;
+    # one collect fetches both corpus scalars
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    ).collect()[0]
+    n_docs, avg_dl = stats["n_docs"], stats["avg_dl"]
+    tf = doc_terms.filter(F.col("term").isin(*query_terms))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")

@@ -25,6 +25,16 @@ MINHASH_A = [1103515245, 1201633, 2027839, 48271, 69621, 1664525, 22695477, 6553
 MINHASH_B = [12345, 5569, 33461, 271, 7919, 104729, 130363, 95279]
 SIMHASH_BITS = 16
 JACCARD_THRESHOLD = 0.5
+#: hot-shingle ceiling for exact-Jaccard candidate generation: shingles
+#: appearing in more than this many documents are dropped BEFORE the
+#: self-join. Without it a single boilerplate 3-gram ("one of the") with
+#: corpus df d contributes O(d²) candidate pairs — the self-join is
+#: quadratic in the hottest shingle's df and dies at scale. With the
+#: ceiling the join's worst case is bounded at |shingles|·MAX_SHINGLE_DF
+#: pairs. Jaccard is therefore defined over each doc's *rare-shingle* set
+#: (df <= ceiling) — boilerplate shingles carry no dedup signal anyway.
+#: The DuckDB oracle applies the identical filter.
+MAX_SHINGLE_DF = 100
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -85,8 +95,20 @@ _SQL_SHINGLES = f"""
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs sharing >=1 shingle, with exact Jaccard >= threshold."""
-    sh = _shingles(spark, sf_dir).cache()
+    """Candidate pairs sharing >=1 rare shingle, exact Jaccard >= threshold.
+
+    Scale shape: the hot-shingle ceiling (MAX_SHINGLE_DF) bounds the
+    self-join fan-out — candidate generation is O(Σ df²) over *surviving*
+    shingles only, each df <= ceiling.
+    """
+    raw = _shingles(spark, sf_dir)
+    rare = (
+        raw.groupBy("shingle")
+        .agg(F.count("*").alias("shingle_df"))
+        .filter(F.col("shingle_df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = raw.join(rare, "shingle").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -116,7 +138,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH shingles AS ({_SQL_SHINGLES}),
+WITH raw_shingles AS ({_SQL_SHINGLES}),
+rare AS (
+  SELECT shingle FROM raw_shingles
+  GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+shingles AS (
+  SELECT doc_id, shingle FROM raw_shingles JOIN rare USING (shingle)
+),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common

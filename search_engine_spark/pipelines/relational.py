@@ -60,10 +60,15 @@ def rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_orders"),
         )
     )
+    # Global top-20 via orderBy().limit() → TakeOrderedAndProject (per-task
+    # local top-20 + tiny driver merge), NOT an unpartitioned Window, which
+    # would funnel every aggregated customer row through one task. The rank
+    # column is then derived on the 20-row result, where a single-partition
+    # window is free (asserted in tests/test_plans.py).
+    top = agg.orderBy(F.desc("total_spent"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("total_spent"), F.asc("c_custkey"))
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "c_custkey", "c_name", "n_name", "total_spent", "n_orders")
     )
 

@@ -86,3 +86,29 @@ def test_topk_is_window_rank_with_partial_filter(spark, small_index):
     plan = _explain(engine.search_batch(FIXTURE_QUERIES[:2], k=5), "formatted")
     assert "Window" in plan
     assert "row_number" in plan
+
+
+def test_top_customers_uses_take_ordered(spark):
+    """rel_top_customers must plan the global top-20 as
+    TakeOrderedAndProject (per-task local top-k + driver merge), not an
+    unpartitioned Window over the full aggregate — the single-partition
+    global sort is a scale-killer. The remaining Window runs on the
+    20-row limited relation only."""
+    from search_engine_spark.pipelines.relational import rel_top_customers
+
+    df = rel_top_customers(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ngram_jaccard_filters_hot_shingles(spark):
+    """The exact-Jaccard self-join must consume only shingles that survived
+    the df ceiling (bounded O(df²) fan-out): the aggregate + ceiling filter
+    must appear below the join in the plan."""
+    from search_engine_spark.pipelines.dedup import (
+        MAX_SHINGLE_DF, dedup_ngram_jaccard,
+    )
+
+    df = dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert f"<= {MAX_SHINGLE_DF}" in plan or f"{MAX_SHINGLE_DF})" in plan, plan
