@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--stemming", action="store_true")
     ap.add_argument("--glove", default=None)
     ap.add_argument("--no-compress", action="store_true")
+    ap.add_argument(
+        "--topical-terms", default=None,
+        help="comma-separated terms for the doc_stats_topical shard "
+             "(reference doc_posting_covid analog)",
+    )
     args = ap.parse_args()
 
     from search_engine_spark.config import EngineConfig
@@ -42,6 +47,9 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions or args.buckets,
         stemming=args.stemming,
         glove_path=args.glove,
+        topical_terms=tuple(
+            t for t in (args.topical_terms or "").split(",") if t
+        ),
     )
     spark = get_spark("build_index", config=cfg)
     spark.sparkContext.setLogLevel("WARN")

@@ -37,6 +37,13 @@ class EngineConfig:
     #: configuration.py:16). Default off, like the reference's main.py.
     stemming: bool = False
 
+    #: topical doc-stats shards (the generic analog of the reference's
+    #: hard-coded ``doc_posting_covid`` files, indexer.py:56-66,265-268):
+    #: for each configured term, docs whose parsed vocabulary contains it
+    #: are written to the ``doc_stats_topical`` table under
+    #: ``topic=<term>``. Empty tuple (default) disables the shard.
+    topical_terms: tuple = ()
+
     # --- scoring (reference constants, see BASELINE.md) ---------------------
     bm25_k: float = 1.2            # ranker.py:94
     bm25_b: float = 0.75           # ranker.py:95

@@ -208,6 +208,79 @@ def _estimate_scan_splits(pages: DataFrame, cfg: EngineConfig,
                _math.ceil(total / max(cfg.files_max_partition_bytes, 1)))
 
 
+def _plan_parse_batches(
+    spark: SparkSession, pages: DataFrame, resume_batches: int,
+    cfg: EngineConfig,
+) -> list[tuple[str, DataFrame, dict]]:
+    """Slice the corpus into resume batches with per-batch input lineage.
+
+    Preferred strategy — **file-level slicing**: when ``pages`` is a bare
+    table scan, the input files are partitioned into ``resume_batches``
+    contiguous groups (sorted order) and each batch reads ONLY its own
+    files. Every input file is scanned exactly once across the whole build
+    (single-scan-equivalent I/O), and the manifest entry records the
+    batch's exact file list + bytes — the per-partition lineage the
+    north_rule asks for (the Iceberg analog: one snapshot per completed
+    file group).
+
+    Fallback — **hash slicing**: if ``pages`` carries transformations (so
+    re-reading files would drop them) or exposes no file list, fall back to
+    filtering the full relation by a hash slice per batch. Correct, but
+    re-scans the input once per batch; callers should pass a bare scan.
+    """
+    import os
+
+    bare_scan = False
+    try:
+        analyzed = pages._jdf.queryExecution().analyzed().toString()
+        bare_scan = analyzed.strip().startswith("Relation") and (
+            "\n+" not in analyzed and "\n:" not in analyzed
+        )
+    except Exception:
+        bare_scan = False
+    files: list[str] = []
+    if bare_scan:
+        try:
+            files = sorted(pages.inputFiles())
+        except Exception:
+            files = []
+
+    out: list[tuple[str, DataFrame, dict]] = []
+    if files and len(files) >= resume_batches:
+        n = len(files)
+        base, rem = divmod(n, resume_batches)
+        start = 0
+        for i in range(resume_batches):
+            size = base + (1 if i < rem else 0)
+            group = files[start:start + size]
+            start += size
+            nbytes = 0
+            for f in group:
+                p = f[7:] if f.startswith("file://") else f
+                try:
+                    nbytes += os.path.getsize(p)
+                except OSError:
+                    pass
+            subset = spark.read.schema(pages.schema).parquet(*group)
+            out.append(
+                (str(i), subset,
+                 {"strategy": "files", "input_files": group,
+                  "input_bytes": nbytes})
+            )
+        return out
+
+    for i in range(resume_batches):
+        subset = pages.filter(
+            F.pmod(
+                F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)),
+                F.lit(resume_batches),
+            )
+            == i
+        )
+        out.append((str(i), subset, {"strategy": "hash_slice"}))
+    return out
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -228,10 +301,13 @@ def build_index(
     t0 = time.time()
 
     # ---- stage A: parse + stage (resume checkpoint) -----------------------
-    # The expensive narrow stage is committed in `resume_batches` slices of
-    # the bucket space, each with its own manifest entry (rows + wall time):
+    # The expensive narrow stage is committed in `resume_batches` slices,
+    # each with its own manifest entry (rows + wall time + input lineage):
     # a killed build resumes by skipping committed batches (north_rule
-    # per-partition lineage; tested in tests/test_resume.py).
+    # per-partition lineage; tested in tests/test_resume.py). Batches are
+    # input-FILE groups when pages is a bare scan — every file is read
+    # exactly once across the build — with a hash-slice fallback for
+    # transformed inputs (see _plan_parse_batches).
     #
     # Parallelism guard: a production table has >> cores input splits, but a
     # small local corpus can land in a single 128 MB split, serializing the
@@ -242,19 +318,16 @@ def build_index(
     scan_par = _estimate_scan_splits(pages, cfg, target_par)
     if not cat.is_complete("parsed"):
         done = set(cat.completed_batches("parsed"))
-        for i in range(resume_batches):
-            if str(i) in done:
+        for batch_id, subset, lineage in _plan_parse_batches(
+            spark, pages, resume_batches, cfg
+        ):
+            if batch_id in done:
                 continue
-            subset = pages.filter(
-                F.pmod(
-                    F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)),
-                    F.lit(resume_batches),
-                )
-                == i
-            )
             if scan_par < target_par:
                 subset = subset.repartition(target_par)
-            cat.append_batch(parse_corpus(subset, cfg), "parsed", str(i))
+            cat.append_batch(
+                parse_corpus(subset, cfg), "parsed", batch_id, metrics=lineage
+            )
         cat.finalize_batched_table("parsed")
     # Read-side parallelism for the staged table comes from split sizing
     # (EngineConfig.files_max_partition_bytes / files_open_cost_bytes):
@@ -287,6 +360,27 @@ def build_index(
         if cfg.glove_path:
             doc_stats = _with_glove_vec(spark, parsed, cfg)
         cat.write_table(doc_stats, "doc_stats", partition_by=["bucket"])
+    # Topical doc-stats shard (reference doc_posting_covid analog,
+    # indexer.py:56-66,265-268, generalized to configured terms): one pass
+    # over the staged parse computes each doc's matched topics
+    # (array_intersect, JVM-side), then a join pulls the doc_stats row —
+    # the written table is partitioned by topic so a topical query prunes
+    # to its own files.
+    if cfg.topical_terms and not cat.has_table("doc_stats_topical"):
+        terms_arr = F.array(*[F.lit(t) for t in cfg.topical_terms])
+        matched = parsed.select(
+            "doc_id",
+            F.explode(
+                F.array_intersect(
+                    F.transform("terms", lambda kv: kv["term"]), terms_arr
+                )
+            ).alias("topic"),
+        )
+        cat.write_table(
+            matched.join(cat.read_table(spark, "doc_stats"), "doc_id"),
+            "doc_stats_topical",
+            partition_by=["topic"],
+        )
     _mark("stats", _t)
 
     # ---- stage B2: vocabulary (prune + rewrite) + term stats --------------

@@ -115,3 +115,77 @@ def test_table_level_resume_skips_finished_stages(spark, tiny_corpus_path, tmp_p
 
     engine = BM25SearchEngine(spark, index_path, cfg)
     assert engine.search_batch(FIXTURE_QUERIES[:3], k=5).count() > 0
+
+
+def test_file_level_resume_lineage(spark, tiny_corpus_path, tmp_path):
+    """With a multi-file corpus and a bare scan, resume batches are input-
+    FILE groups: the manifest records each batch's exact file list, every
+    input file appears in exactly one batch (single-scan-equivalent reads —
+    no batch re-scans the whole input), and the built index equals the
+    single-file build."""
+    from search_engine_spark.operators import index_build
+
+    # re-lay the fixture as 6 parquet files
+    multi = str(tmp_path / "pages_multi")
+    spark.read.parquet(tiny_corpus_path).repartition(6).write.parquet(multi)
+    pages = spark.read.parquet(multi)
+    n_files = len(pages.inputFiles())
+    assert n_files >= 3
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    index_path = str(tmp_path / "idx_files")
+    index_build.build_index(spark, pages, index_path, cfg, resume_batches=3)
+
+    entries = CatalogAdapter(index_path)._load()["tables"]["parsed"]["batches"]
+    assert len(entries) == 3
+    assert all(e["strategy"] == "files" for e in entries)
+    all_files = [f for e in entries for f in e["input_files"]]
+    assert len(all_files) == n_files, "some input file scanned 0 or 2+ times"
+    assert len(set(all_files)) == n_files
+    assert all(e["input_bytes"] > 0 and e["rows"] > 0 for e in entries)
+
+    # same index as a single-file hash-sliced build
+    single_path = str(tmp_path / "idx_single")
+    index_build.build_index(
+        spark, spark.read.parquet(tiny_corpus_path), single_path, cfg,
+        resume_batches=3,
+    )
+    single_entries = (
+        CatalogAdapter(single_path)._load()["tables"]["parsed"]["batches"]
+    )
+    assert all(e["strategy"] == "hash_slice" for e in single_entries)
+
+    def vocab(path):
+        return {
+            (r["term"], r["df"])
+            for r in CatalogAdapter(path)
+            .read_table(spark, "term_stats")
+            .collect()
+        }
+
+    assert vocab(index_path) == vocab(single_path)
+
+
+def test_transformed_input_falls_back_to_hash_slices(
+    spark, tiny_corpus_path, tmp_path
+):
+    """A filtered/transformed pages relation must NOT be re-read at the
+    file level (that would silently drop the transformation)."""
+    import pyspark.sql.functions as F
+
+    from search_engine_spark.operators import index_build
+
+    pages = spark.read.parquet(tiny_corpus_path).filter(F.col("lang") == "en")
+    index_path = str(tmp_path / "idx_filtered")
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    metrics = index_build.build_index(
+        spark, pages, index_path, cfg, resume_batches=2
+    )
+    entries = CatalogAdapter(index_path)._load()["tables"]["parsed"]["batches"]
+    assert all(e["strategy"] == "hash_slice" for e in entries)
+    # the filter was honored: fewer docs than the full corpus
+    full = index_build.build_index(
+        spark, spark.read.parquet(tiny_corpus_path),
+        str(tmp_path / "idx_full"), cfg, resume_batches=1,
+    )
+    assert metrics["n_docs"] < full["n_docs"]
