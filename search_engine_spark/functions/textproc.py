@@ -9,11 +9,13 @@ Pure Python, no Spark imports — this module is shared by:
 - the single-process parity oracle (``tests/oracle.py``).
 
 Semantics replicate the reference parser (reference parser_module.py:40-462)
-including its quirks, with one environmental substitution: NLTK is not
-available in this sandbox, so ``word_tokenize`` here is our own deterministic
-Treebank-style tokenizer. It produces the token *shapes* the downstream
-handlers key on (``['#','Tag']``, ``['@','name']``, ``['50','%']``,
-``['https',':','//host/path']``, contraction splits, trailing-punct splits).
+including its quirks. ``word_tokenize`` is a faithful port of the published
+Penn Treebank tokenizer rule sequence plus a deterministic sentence splitter
+(functions/treebank.py; NLTK's word_tokenize = punkt + Treebank — the punkt
+statistical model is the one documented delta). It produces the exact token
+shapes the downstream handlers key on (``['#','Tag']``, ``['@','name']``,
+``['50','%']``, ``['https',':','//host/path']``, clitic splits,
+sentence-final period splits).
 
 Replicated quirks (each unit-tested, see tests/test_textproc.py):
 
@@ -110,68 +112,13 @@ URL_IN_TEXT_RE = re.compile(r"http\S+|www.\S+")  # unescaped '.' as in reference
 _KBM_SHORTS = frozenset("kmbKMB")
 
 # ---------------------------------------------------------------------------
-# Tokenizer (Treebank-style; NLTK substitute)
+# Tokenizer: Penn Treebank rules + deterministic sentence split
+# (functions/treebank.py; the reference's word_tokenize =
+# punkt + TreebankWordTokenizer, parser_module.py:48 — the punkt
+# approximation is the one documented delta, see treebank.py docstring)
 # ---------------------------------------------------------------------------
 
-_CONTRACTIONS = ("n't", "'s", "'ve", "'m", "'d", "'ll", "'re")
-_LEADING_PUNCT = set('#@([{"“‘$£')
-_TRAILING_PUNCT = set('.,!?;:)]}"%”’' + "'")
-
-
-def _split_chunk(chunk: str) -> list[str]:
-    """Split one whitespace-delimited chunk into Treebank-style tokens."""
-    out: list[str] = []
-    tail: list[str] = []
-    if not chunk:
-        return out
-
-    # URLs: emit like NLTK does — scheme, ':', '//rest' — so the reference's
-    # https handler (parser_module.py:86-90) sees the URL body at idx+2.
-    m = re.match(r"^(https?):(//\S*)$", chunk)
-    if m:
-        return [m.group(1), ":", m.group(2)]
-
-    # peel leading punctuation
-    while chunk and chunk[0] in _LEADING_PUNCT:
-        out.append(chunk[0])
-        chunk = chunk[1:]
-
-    # peel trailing punctuation (ellipsis kept whole, like Treebank)
-    while chunk:
-        if chunk.endswith("..."):
-            tail.append("...")
-            chunk = chunk[:-3]
-        elif chunk[-1] in _TRAILING_PUNCT:
-            # keep numeric-internal '.' (e.g. "3.5") and lone tokens
-            if chunk[-1] == "." and len(chunk) >= 2 and chunk[-2] == ".":
-                tail.append(".")
-                chunk = chunk[:-1]
-                continue
-            tail.append(chunk[-1])
-            chunk = chunk[:-1]
-        else:
-            break
-
-    if chunk:
-        lowered = chunk.lower()
-        for suf in _CONTRACTIONS:
-            if lowered.endswith(suf) and len(chunk) > len(suf):
-                out.append(chunk[: -len(suf)])
-                out.append(chunk[-len(suf):])
-                break
-        else:
-            out.append(chunk)
-
-    out.extend(reversed(tail))
-    return out
-
-
-def word_tokenize(text: str) -> list[str]:
-    """Deterministic Treebank-style word tokenizer (NLTK substitute)."""
-    tokens: list[str] = []
-    for chunk in text.split():
-        tokens.extend(_split_chunk(chunk))
-    return tokens
+from search_engine_spark.functions.treebank import word_tokenize  # noqa: F401,E402
 
 
 # ---------------------------------------------------------------------------

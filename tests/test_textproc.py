@@ -74,8 +74,12 @@ class TestTokenizerOperators:
 
     def test_p16_url_split(self):
         assert toks("link https://t.co/abc123 end") == ["link", "end"]
+        # Treebank pads '?' (rule [?!]), so the https handler sees only the
+        # path at idx+2 and the query string flows through the default
+        # branch as one token — faithful NLTK+reference behavior
+        # (parser_module.py:86-90 with word_tokenize's '?' split).
         got = toks("link https://www.instagram.com/p/XYZ/?igshid=o9k end")
-        assert got == ["link", "www.instagram.com", "p", "xyz", "igshid", "o9k", "end"]
+        assert got == ["link", "www.instagram.com", "p", "xyz", "igshid=o9k", "end"]
         assert tp.split_url("https://www.instagram.com/p/CD7/?x=1") == [
             "instagram.com", "p", "cd7", "x", "1"
         ]
@@ -184,3 +188,71 @@ class TestCodecRoundTrip:
         blob, _, _ = encode_posting_list(ids, dls, tfs, 128, 0.5, 80.0)
         out = decode_posting_list(blob)
         assert (out[0] == ids).all() and (out[1] == dls).all() and (out[2] == tfs).all()
+
+
+class TestTreebankTokenizer:
+    """Faithful-port goldens: published NLTK/Treebank examples."""
+
+    def test_nltk_canonical_example(self):
+        from search_engine_spark.functions.treebank import word_tokenize
+
+        s = ("Good muffins cost $3.88\nin New York.  Please buy me\n"
+             "two of them.\n\nThanks.")
+        assert word_tokenize(s) == [
+            "Good", "muffins", "cost", "$", "3.88", "in", "New", "York",
+            ".", "Please", "buy", "me", "two", "of", "them", ".",
+            "Thanks", ".",
+        ]
+
+    def test_contractions_and_clitics(self):
+        from search_engine_spark.functions.treebank import word_tokenize
+
+        assert word_tokenize("They'll save and invest more.") == [
+            "They", "'ll", "save", "and", "invest", "more", ".",
+        ]
+        assert word_tokenize("I cannot wanna gimme that") == [
+            "I", "can", "not", "wan", "na", "gim", "me", "that",
+        ]
+        assert word_tokenize("it's the dog's bone, isn't it?") == [
+            "it", "'s", "the", "dog", "'s", "bone", ",", "is", "n't",
+            "it", "?",
+        ]
+
+    def test_quotes(self):
+        from search_engine_spark.functions.treebank import word_tokenize
+
+        assert word_tokenize('"We won," she said.') == [
+            "``", "We", "won", ",", "''", "she", "said", ".",
+        ]
+
+    def test_parens_and_dashes(self):
+        from search_engine_spark.functions.treebank import word_tokenize
+
+        assert word_tokenize("a (small) test -- indeed") == [
+            "a", "(", "small", ")", "test", "--", "indeed",
+        ]
+
+    def test_final_period_only_at_sentence_end(self):
+        from search_engine_spark.functions.treebank import word_tokenize
+
+        # mid-sentence abbreviation periods stay glued; sentence-final split
+        assert word_tokenize("Mr. Smith met Dr. Jones.") == [
+            "Mr.", "Smith", "met", "Dr.", "Jones", ".",
+        ]
+        assert word_tokenize("U.S. economy grew. Next item.") == [
+            "U.S.", "economy", "grew", ".", "Next", "item", ".",
+        ]
+
+    def test_ellipsis_and_punct(self):
+        from search_engine_spark.functions.treebank import word_tokenize
+
+        assert word_tokenize("wait... what?! yes; ok: fine") == [
+            "wait", "...", "what", "?", "!", "yes", ";", "ok", ":", "fine",
+        ]
+
+    def test_comma_digit_kept(self):
+        from search_engine_spark.functions.treebank import word_tokenize
+
+        assert word_tokenize("paid 68,800 total, then left") == [
+            "paid", "68,800", "total", ",", "then", "left",
+        ]
