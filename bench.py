@@ -24,11 +24,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-#: web_pages fixture rows for the index-build benchmark
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
+#: web_pages fixture rows for the index-build benchmark. 150k (vs round 1's
+#: 50k) so the ~15 s of fixed Spark overhead (session, job scheduling,
+#: python worker spin-up) amortizes and docs/sec reflects steady-state
+#: throughput — at 50k docs the overhead dominated and under-reported the
+#: engine by ~2× relative to the zero-overhead single-node oracle.
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "150000"))
 CACHE_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE", os.path.join(os.path.dirname(__file__), ".bench_cache")
 )
+
+#: previous-round per-query seconds (BENCH_r01.json, sf0.1, 32 cpus) —
+#: regression guard: any query slower than PREV_ROUND * (1 + TOLERANCE)
+#: is flagged in extra["regressions"]. Update each round.
+PREV_ROUND = {
+    "se_bm25_topk": 2.397,
+    "se_term_df": 0.424,
+    "dedup_minhash_lsh": 3.033,
+    "sim_bruteforce_topk": 1.043,
+    "text_fingerprint": 0.65,
+    "rel_pricing_summary": 0.483,
+    "rel_sessionize": 0.559,
+}
+#: r01 measured index_build/bm25_query_batch at 50k pages — only
+#: comparable when N_PAGES matches
+PREV_ROUND_50K = {"index_build": 25.626, "bm25_query_batch": 2.863}
+REGRESSION_TOLERANCE = 0.20
 
 
 def _sf_label(path: str) -> float:
@@ -54,6 +75,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    try:
+        extra["loadavg_start"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
 
     def timed(name, fn):
         t0 = time.time()
@@ -108,16 +133,22 @@ def main() -> None:
 
         t = pq.read_table(fixture, columns=["url", "warc_ts", "text"])
         n = min(3000, t.num_rows)
-        eng = OracleEngine()
-        t0 = time.time()
-        for u, ts_, x in zip(
-            t["url"].to_pylist()[:n],
-            t["warc_ts"].to_pylist()[:n],
-            t["text"].to_pylist()[:n],
-        ):
-            eng.add_doc(u, ts_, x)
-        eng.finalize()
-        return n / (time.time() - t0)
+        urls = t["url"].to_pylist()[:n]
+        tss = t["warc_ts"].to_pylist()[:n]
+        txts = t["text"].to_pylist()[:n]
+        best = 0.0
+        # best-of-3: the shared host's external contention flaps minute to
+        # minute (loadavg_* fields record it); best-of bounds the noise on
+        # the single-node side the same way the pinned scaling protocol
+        # does (BASELINE.md)
+        for _ in range(3):
+            eng = OracleEngine()
+            t0 = time.time()
+            for u, ts_, x in zip(urls, tss, txts):
+                eng.add_doc(u, ts_, x)
+            eng.finalize()
+            best = max(best, n / (time.time() - t0))
+        return best
 
     extra["oracle_single_node_docs_per_sec"] = round(oracle_rate(), 1)
     extra["speedup_vs_reference_single_node"] = round(
@@ -139,6 +170,25 @@ def main() -> None:
     ]:
         timed(name, lambda n=name: q[n](spark, SF_DIR).collect())
 
+    # regression guard vs previous round (only meaningful at the standard
+    # sf0.1 / 32-cpu configuration the driver runs)
+    if _sf_label(SF_DIR) == 0.1 and int(CPUS) == 32:
+        prev_all = dict(PREV_ROUND)
+        if N_PAGES == 50_000:
+            prev_all.update(PREV_ROUND_50K)
+        regressions = {
+            name: {"prev": prev, "now": timings[name]}
+            for name, prev in prev_all.items()
+            if name in timings
+            and timings[name] > prev * (1 + REGRESSION_TOLERANCE)
+        }
+        extra["regressions"] = regressions
+        extra["regression_count"] = len(regressions)
+
+    try:
+        extra["loadavg_end"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

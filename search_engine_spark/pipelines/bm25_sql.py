@@ -43,38 +43,38 @@ def bm25_topk(
 ) -> DataFrame:
     threshold = int(len(query_terms) * MIN_MATCH)
 
-    # One pass over the raw documents: tokenize once, aggregate per
-    # (doc_id, term) ONCE, and derive dl / tf / df / corpus stats from that
-    # relation — the tokenize→explode lineage must not be recomputed per
-    # derived table (at 100 TB re-tokenizing the corpus 4× dominates the
-    # query). doc_terms is tiny relative to the corpus (one row per
-    # distinct term per doc), so caching it is cheap; the production path
-    # reads these as prebuilt index tables (operators/search.py) — this is
-    # the raw-table SQL-gate variant.
+    # Tokenize ONCE: every derived relation (dl, tf, df, corpus stats)
+    # branches off the same (doc_id, term) aggregation, and the whole query
+    # is ONE action — Spark's ReuseExchange dedupes the shared shuffle, so
+    # the corpus is scanned/tokenized once per run instead of ~4× (the old
+    # shape re-derived the explode lineage per branch, plus two separate
+    # collect() jobs for the corpus scalars; at 100 TB re-tokenizing the
+    # corpus per branch dominates the query). The corpus scalars ride a
+    # broadcast single-row crossJoin instead of driver collects. The
+    # production path reads prebuilt index tables (operators/search.py) —
+    # this is the raw-table SQL-gate variant.
     doc_terms = (
         _doc_tokens(spark, sf_dir)
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .cache()
     )
     dl = doc_terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    # N counts docs with >=1 token, matching the oracle's dl-derived stats;
-    # one collect fetches both corpus scalars
+    # N counts docs with >=1 token, matching the oracle's dl-derived stats
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
-    ).collect()[0]
-    n_docs, avg_dl = stats["n_docs"], stats["avg_dl"]
+    )
     tf = doc_terms.filter(F.col("term").isin(*query_terms))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .withColumn("tfn", F.col("tf") / F.col("dl"))
-        .withColumn("idf", F.log10(F.lit(n_docs) / F.col("df")))
+        .withColumn("idf", F.log10(F.col("n_docs") / F.col("df")))
         .withColumn(
             "contrib",
             (F.col("idf") * F.col("tfn") * (K + 1))
-            / (F.col("tfn") + K * (1 - B + B * (F.col("dl") / F.lit(avg_dl)))),
+            / (F.col("tfn") + K * (1 - B + B * (F.col("dl") / F.col("avg_dl")))),
         )
         .groupBy("doc_id")
         .agg(
