@@ -312,8 +312,27 @@ def _append_to_tokenized(tokenized_list, capital_letters, token):
         tokenized_list.append(token.lower())
 
 
+#: plain-token fast path (see parse_sentence). Disabled only by the
+#: differential test that proves it semantics-identical to the handler chain.
+_FAST_PATH = True
+_PLAIN_RE = re.compile(r"[a-z0-9]+\Z")
+#: plain-shaped tokens that still have dedicated handlers upstream
+_FAST_EXCLUDE = frozenset(("percent", "percentage", "https"))
+
+
 def parse_sentence(text: str, stemmer=None) -> ParsedSentence:
-    """Tokenize + normalize one text. Reference parser_module.py:40-102."""
+    """Tokenize + normalize one text. Reference parser_module.py:40-102.
+
+    Fast path: a token matching ``[a-z0-9]+`` that is not numeric, does not
+    end in k/m/b, and is not percent/percentage/https can, by inspection of
+    every handler guard below, only ever reach ``_append_to_tokenized`` via
+    the else branch — with a guaranteed-lowercase first char (no capital
+    tracking as True, no entity chunk growth) and a known-negative stopword
+    recheck. Those facts let the hot loop skip the whole guard chain for
+    the overwhelmingly common plain-word case. Equivalence is enforced by a
+    differential property test (tests/test_textproc.py) that reruns the
+    slow chain with ``_FAST_PATH`` off and asserts identical output.
+    """
     text_tokens = word_tokenize(text)
     tokenized_list: list[str] = []
     entity_chunk = ""
@@ -321,7 +340,31 @@ def parse_sentence(text: str, stemmer=None) -> ParsedSentence:
     capital_letter_indexer: dict[str, bool] = {}
     named_entities: set[str] = set()
 
+    stop = STOP_WORDS
+    append = tokenized_list.append
+    plain = _PLAIN_RE.match if (_FAST_PATH and stemmer is None) else None
+
     for idx, token in enumerate(text_tokens):
+        # every STOP_WORDS member is lower()-invariant, so membership of the
+        # raw token implies membership of token.lower() — same `continue`
+        if token in stop:
+            continue
+        if (
+            plain is not None
+            and plain(token)
+            and token[-1] not in _KBM_SHORTS
+            and not token.isnumeric()
+            and token not in _FAST_EXCLUDE
+        ):
+            if entity_chunk != "":
+                named_entities.add(entity_chunk[:-1])
+                if empty_chunk > 1:
+                    append(entity_chunk[:-1].lower())
+                entity_chunk = ""
+                empty_chunk = 0
+            capital_letter_indexer[token] = False
+            append(token)
+            continue
         if token.lower() in STOP_WORDS or (len(token) == 1 and ord(token) > 126):
             continue
 

@@ -46,6 +46,11 @@ CODEC_FORMAT_VERSION = 2
 
 _HDR = np.dtype("<u4")
 
+#: values >= 2^(7k) need k+1 varbyte groups; 9 thresholds cover uint64
+_VB_THRESHOLDS = np.left_shift(
+    np.uint64(1), np.arange(7, 64, 7, dtype=np.uint64)
+)
+
 
 def zigzag_encode(v: np.ndarray) -> np.ndarray:
     v = v.astype(np.int64)
@@ -68,12 +73,9 @@ def vb_encode(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     n = len(v)
     if n == 0:
         return b"", np.zeros(0, np.int64)
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    nbytes = np.ones(n, np.int64)
-    tmp = v >> np.uint64(7)
-    while tmp.any():
-        nbytes += (tmp > 0)
-        tmp >>= np.uint64(7)
+    # bytes needed per value: ceil(bit_length / 7), min 1 — one searchsorted
+    # against the 7-bit-group thresholds instead of a shift loop
+    nbytes = np.searchsorted(_VB_THRESHOLDS, v, side="right").astype(np.int64) + 1
     total = int(nbytes.sum())
     out = np.zeros(total, np.uint8)
     ends = np.cumsum(nbytes)
@@ -232,6 +234,98 @@ ENCODED_COLUMNS = [
 ]
 
 
+def _encode_group_batch(
+    gbuckets, gterms, ids, dls, tfs, starts, ends,
+    block_size: int, avg_dl: float, k: float, b: float,
+):
+    """Encode every (closed) group of one batch in a single vectorized pass.
+
+    ``gbuckets``/``gterms`` are per-group (length G); ``ids``/``dls``/``tfs``
+    are the flat row arrays; ``starts``/``ends`` delimit each group's
+    contiguous row range (groups tile ``[0, ends[-1])``). The whole batch is
+    varbyte-encoded with ONE ``vb_encode`` per stream; per-group blobs are
+    then assembled from cumulative-byte-position slices. Same blob layout as
+    ``encode_posting_list`` (asserted equal by tests/test_codec_stream.py).
+
+    Returns an Arrow RecordBatch of encoded rows (ENCODED_COLUMNS).
+    """
+    import pyarrow as pa
+
+    G = len(starts)
+    n_rows = int(ends[-1])
+    ids = ids[:n_rows]
+    dls = dls[:n_rows]
+    tfs = tfs[:n_rows]
+
+    grp_len = ends - starts
+    nblk = (grp_len + block_size - 1) // block_size
+    blk_grp = np.repeat(np.arange(G), nblk)
+    nblk_excl = np.concatenate(([0], np.cumsum(nblk)))
+    blk_in_grp = np.arange(int(nblk_excl[-1])) - nblk_excl[blk_grp]
+    bstart = starts[blk_grp] + blk_in_grp * block_size
+    bend = np.minimum(bstart + block_size, ends[blk_grp])
+
+    # gap values: per-row deltas, with the absolute (zigzag) restart value at
+    # every block start; cross-group diff garbage is overwritten because
+    # every group start IS a block start
+    gaps = np.empty(n_rows, np.uint64)
+    if n_rows > 1:
+        gaps[1:] = np.diff(ids).astype(np.uint64)
+    gaps[bstart] = zigzag_encode(ids[bstart])
+
+    gap_stream, gap_nb = vb_encode(gaps)
+    dl_stream, dl_nb = vb_encode(dls.astype(np.uint64))
+    tf_stream, tf_nb = vb_encode(tfs.astype(np.uint64))
+    gap_pos = np.concatenate(([0], np.cumsum(gap_nb)))
+    dl_pos = np.concatenate(([0], np.cumsum(dl_nb)))
+    tf_pos = np.concatenate(([0], np.cumsum(tf_nb)))
+
+    # per-block byte offsets within each group's stream slice
+    gs = starts[blk_grp]
+    off_gap = (gap_pos[bstart] - gap_pos[gs]).astype("<u4").tobytes()
+    off_dl = (dl_pos[bstart] - dl_pos[gs]).astype("<u4").tobytes()
+    off_tf = (tf_pos[bstart] - tf_pos[gs]).astype("<u4").tobytes()
+
+    contrib = _bm25_contribution(
+        tfs.astype(np.float64), dls.astype(np.float64), 1.0, avg_dl, k, b
+    )
+    blk_max = np.maximum.reduceat(contrib, bstart)
+    blk_last = ids[bend - 1]
+
+    headers = np.empty((G, 6), "<u4")
+    headers[:, 0] = grp_len
+    headers[:, 1] = block_size
+    headers[:, 2] = nblk
+    headers[:, 3] = gap_pos[ends] - gap_pos[starts]
+    headers[:, 4] = dl_pos[ends] - dl_pos[starts]
+    headers[:, 5] = tf_pos[ends] - tf_pos[starts]
+
+    blobs = []
+    for g in range(G):
+        ob, oe = 4 * int(nblk_excl[g]), 4 * int(nblk_excl[g + 1])
+        s, e = int(starts[g]), int(ends[g])
+        blobs.append(
+            headers[g].tobytes()
+            + off_gap[ob:oe] + off_dl[ob:oe] + off_tf[ob:oe]
+            + gap_stream[int(gap_pos[s]):int(gap_pos[e])]
+            + dl_stream[int(dl_pos[s]):int(dl_pos[e])]
+            + tf_stream[int(tf_pos[s]):int(tf_pos[e])]
+        )
+
+    blk_offsets = pa.array(nblk_excl.astype(np.int32))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.asarray(gbuckets, np.int32)),
+            pa.array(list(gterms), pa.string()),
+            pa.array(grp_len.astype(np.int64)),
+            pa.array(blobs, pa.binary()),
+            pa.ListArray.from_arrays(blk_offsets, pa.array(blk_last, pa.int64())),
+            pa.ListArray.from_arrays(blk_offsets, pa.array(blk_max, pa.float64())),
+        ],
+        names=ENCODED_COLUMNS,
+    )
+
+
 def encode_sorted_postings(sorted_rows, cfg: EngineConfig, avg_dl: float):
     """Streaming group encoder over range-partitioned, sorted posting rows.
 
@@ -274,34 +368,7 @@ def encode_sorted_postings(sorted_rows, cfg: EngineConfig, avg_dl: float):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        carry = None  # (bucket, term, [ids...], [dls...], [tfs...])
-
-        def encoded_row(bucket, term, idp, dlp, tfp, sink):
-            ids = np.concatenate(idp) if len(idp) > 1 else idp[0]
-            dls = np.concatenate(dlp) if len(dlp) > 1 else dlp[0]
-            tfs = np.concatenate(tfp) if len(tfp) > 1 else tfp[0]
-            blob, last, bmax = encode_posting_list(
-                ids, dls, tfs, block_size, 1.0, avg_dl, k, b
-            )
-            sink["bucket"].append(int(bucket))
-            sink["term"].append(term)
-            sink["local_df"].append(len(ids))
-            sink["blob"].append(blob)
-            sink["block_last"].append(last)
-            sink["block_max"].append(bmax)
-
-        def to_batch(sink):
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(sink["bucket"], pa.int32()),
-                    pa.array(sink["term"], pa.string()),
-                    pa.array(sink["local_df"], pa.int64()),
-                    pa.array(sink["blob"], pa.binary()),
-                    pa.array(sink["block_last"], pa.list_(pa.int64())),
-                    pa.array(sink["block_max"], pa.list_(pa.float64())),
-                ],
-                names=ENCODED_COLUMNS,
-            )
+        carry = None  # (bucket, term, ids, dls, tfs) — open tail group
 
         for batch in batches:
             n = batch.num_rows
@@ -325,35 +392,45 @@ def encode_sorted_postings(sorted_rows, cfg: EngineConfig, avg_dl: float):
             starts = np.concatenate(([0], chg))
             ends = np.concatenate((chg, [n]))
             gterms = tcol.take(pa.array(starts, pa.int64())).to_pylist()
+            gbuckets = bcol[starts].astype(np.int64)
 
-            sink = {c: [] for c in ENCODED_COLUMNS}
-            for g in range(len(starts)):
-                s, e = int(starts[g]), int(ends[g])
-                gb, gt = int(bcol[s]), gterms[g]
-                seg = (ids[s:e], dls[s:e], tfs[s:e])
-                if carry is not None and carry[0] == gb and carry[1] == gt:
-                    carry[2].append(seg[0])
-                    carry[3].append(seg[1])
-                    carry[4].append(seg[2])
-                    cur = carry
+            # fold the previous batch's open tail in: merged into group 0
+            # when the key continues, else prepended as its own group
+            if carry is not None:
+                nc = len(carry[2])
+                ids = np.concatenate((carry[2], ids))
+                dls = np.concatenate((carry[3], dls))
+                tfs = np.concatenate((carry[4], tfs))
+                if carry[0] == int(gbuckets[0]) and carry[1] == gterms[0]:
+                    starts = starts + nc
+                    starts[0] = 0
+                    ends = ends + nc
                 else:
-                    if carry is not None:
-                        encoded_row(carry[0], carry[1], carry[2], carry[3],
-                                    carry[4], sink)
-                    cur = [gb, gt, [seg[0]], [seg[1]], [seg[2]]]
-                carry = cur
-                if g < len(starts) - 1:
-                    # group is closed by the next one in this batch
-                    encoded_row(carry[0], carry[1], carry[2], carry[3],
-                                carry[4], sink)
-                    carry = None
-            if sink["term"]:
-                yield to_batch(sink)
+                    starts = np.concatenate(([0], starts + nc))
+                    ends = np.concatenate(([nc], ends + nc))
+                    gterms = [carry[1]] + gterms
+                    gbuckets = np.concatenate(([carry[0]], gbuckets))
+                carry = None
+
+            # the last group may continue into the next batch — hold it open
+            g_last = len(starts) - 1
+            s = int(starts[g_last])
+            carry = (int(gbuckets[g_last]), gterms[g_last],
+                     ids[s:], dls[s:], tfs[s:])
+            if g_last == 0:
+                continue
+            yield _encode_group_batch(
+                gbuckets[:g_last], gterms[:g_last], ids, dls, tfs,
+                starts[:g_last], ends[:g_last], block_size, avg_dl, k, b,
+            )
 
         if carry is not None:
-            sink = {c: [] for c in ENCODED_COLUMNS}
-            encoded_row(carry[0], carry[1], carry[2], carry[3], carry[4], sink)
-            yield to_batch(sink)
+            nc = len(carry[2])
+            yield _encode_group_batch(
+                np.array([carry[0]]), [carry[1]],
+                carry[2], carry[3], carry[4],
+                np.array([0]), np.array([nc]), block_size, avg_dl, k, b,
+            )
 
     return sorted_rows.select(
         "bucket", "term", "doc_id", "doc_length", "tf"

@@ -79,16 +79,20 @@ def sorted_posting_rows(parsed: DataFrame, config: EngineConfig) -> DataFrame:
     )
 
 
-def build_vocabulary(parsed: DataFrame) -> DataFrame:
+def build_vocabulary(parsed: DataFrame, df_raw: DataFrame | None = None) -> DataFrame:
     """Vocabulary with final (possibly uppercased) term and global df.
 
-    Returns (term, final_term, df) for surviving terms only. The df
-    aggregation shuffles only map-side partial counts (one row per term
-    per task), not the exploded relation.
+    Returns (term, final_term, df) for surviving terms only. ``df_raw``
+    (term, df) is normally derived from the already-encoded postings table
+    — ``sum(local_df)`` over the per-(bucket, term) rows, a |vocab|·buckets
+    aggregation instead of re-exploding and re-shuffling the full
+    (doc, term) relation a second time. Falls back to the explode when no
+    postings are available (direct callers / tests).
     """
-    df_raw = _explode_terms(parsed).groupBy("term").agg(
-        F.count("*").alias("df")
-    )
+    if df_raw is None:
+        df_raw = _explode_terms(parsed).groupBy("term").agg(
+            F.count("*").alias("df")
+        )
 
     # A5: bool AND across docs of the per-doc capital flag (min ≡ AND)
     capitals = (
@@ -359,7 +363,13 @@ def build_index(
         )
         if cfg.glove_path:
             doc_stats = _with_glove_vec(spark, parsed, cfg)
-        cat.write_table(doc_stats, "doc_stats", partition_by=["bucket"])
+        # cluster whole buckets per task before the partitioned write —
+        # without this every input split writes a file into every bucket
+        # directory (splits × buckets tiny files)
+        cat.write_table(
+            doc_stats.repartition(cfg.shuffle_partitions, "bucket"),
+            "doc_stats", partition_by=["bucket"],
+        )
     # Topical doc-stats shard (reference doc_posting_covid analog,
     # indexer.py:56-66,265-268, generalized to configured terms): one pass
     # over the staged parse computes each doc's matched topics
@@ -383,27 +393,11 @@ def build_index(
         )
     _mark("stats", _t)
 
-    # ---- stage B2: vocabulary (prune + rewrite) + term stats --------------
-    # Postings carry the RAW lowercase vocabulary; pruning (df==1) and the
-    # uppercase rewrite (M5-M7) live in term_stats only, and the query
-    # engine gates every query term through term_stats before touching
-    # postings — semantically identical to pruning the postings themselves
-    # (a pruned/rewritten term simply never reaches the posting lookup),
-    # but it keeps the build free of any vocabulary join.
+    # ---- stage B2: postings — ONE range shuffle + streaming encode --------
     cstats = cat.read_table(spark, "corpus_stats").collect()[0]
     n_docs = int(cstats["n_docs"])
     avg_dl = float(cstats["avg_doc_length"])
 
-    if not cat.has_table("term_stats"):
-        vocab = build_vocabulary(parsed)
-        cat.write_table(
-            vocab.select(F.col("final_term").alias("term"), "df",
-                         F.col("term").alias("source_term")),
-            "term_stats",
-        )
-    _mark("term_stats", _t)
-
-    # ---- stage B3: postings — ONE range shuffle + streaming encode --------
     if not cat.has_table("postings"):
         from search_engine_spark.operators.codec import encode_sorted_postings
 
@@ -417,6 +411,31 @@ def build_index(
             max_records_per_file=cfg.max_records_per_file,
         )
     _mark("postings", _t)
+
+    # ---- stage B3: vocabulary (prune + rewrite) + term stats --------------
+    # Postings carry the RAW lowercase vocabulary; pruning (df==1) and the
+    # uppercase rewrite (M5-M7) live in term_stats only, and the query
+    # engine gates every query term through term_stats before touching
+    # postings — semantically identical to pruning the postings themselves
+    # (a pruned/rewritten term simply never reaches the posting lookup),
+    # but it keeps the build free of any vocabulary join.
+    #
+    # Global df rides the encoded postings (sum of per-(bucket, term)
+    # local_df — a |vocab|·buckets-row aggregation) instead of a second
+    # full explode+shuffle of the (doc, term) relation.
+    if not cat.has_table("term_stats"):
+        df_from_postings = (
+            cat.read_table(spark, "postings")
+            .groupBy("term")
+            .agg(F.sum("local_df").alias("df"))
+        )
+        vocab = build_vocabulary(parsed, df_raw=df_from_postings)
+        cat.write_table(
+            vocab.select(F.col("final_term").alias("term"), "df",
+                         F.col("term").alias("source_term")),
+            "term_stats",
+        )
+    _mark("term_stats", _t)
 
     # Stamp the on-disk layout + parse-mode so readers can validate
     # compatibility (WAND safety depends on the idf-free block_max layout;

@@ -25,7 +25,6 @@ PARSED_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
         StructField("warc_ts", TimestampType(), True),
-        StructField("clean_text", StringType(), False),
         StructField("doc_length", IntegerType(), False),
         StructField("max_tf", IntegerType(), False),
         StructField("unique_terms", IntegerType(), False),
@@ -70,8 +69,12 @@ def _parse_batches(stemming: bool):
             stemmer = Stemmer()
 
         for pdf in batches:
+            # clean_text is intentionally NOT staged: no downstream index
+            # table consumes it (the byte-identity invariant is enforced at
+            # the function level, tests/test_textproc.py), and carrying the
+            # full cleaned body would double the staged table's write volume
             rows = {k: [] for k in (
-                "url", "warc_ts", "clean_text", "doc_length", "max_tf",
+                "url", "warc_ts", "doc_length", "max_tf",
                 "unique_terms", "terms", "capitals", "entities")}
             for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
                 doc = parse_web_doc(url, text, stemmer=stemmer)
@@ -79,7 +82,6 @@ def _parse_batches(stemming: bool):
                     continue
                 rows["url"].append(doc.url)
                 rows["warc_ts"].append(ts)
-                rows["clean_text"].append(doc.clean_text)
                 rows["doc_length"].append(doc.doc_length)
                 rows["max_tf"].append(doc.max_tf)
                 rows["unique_terms"].append(doc.unique_terms)

@@ -256,3 +256,73 @@ class TestTreebankTokenizer:
         assert word_tokenize("paid 68,800 total, then left") == [
             "paid", "68,800", "total", ",", "then", "left",
         ]
+
+
+class TestParseSentenceFastPath:
+    """Differential proof for the plain-token fast path in parse_sentence.
+
+    Runs the same input with _FAST_PATH on and off; the two code paths must
+    produce identical tokens, capitals, and entities on any input.
+    """
+
+    @staticmethod
+    def _both(text):
+        fast = tp.parse_sentence(text)
+        old = tp._FAST_PATH
+        tp._FAST_PATH = False
+        try:
+            slow = tp.parse_sentence(text)
+        finally:
+            tp._FAST_PATH = old
+        return fast, slow
+
+    def _assert_identical(self, text):
+        fast, slow = self._both(text)
+        assert fast.tokens == slow.tokens, text
+        assert fast.capitals == slow.capitals, text
+        assert fast.entities == slow.entities, text
+
+    def test_special_snippets(self):
+        from search_engine_spark.sources.fixtures import (
+            ATLANTIS_SNIPPET, EMPTY_SNIPPET, SPECIAL_SNIPPETS,
+        )
+
+        for s in SPECIAL_SNIPPETS + [ATLANTIS_SNIPPET, EMPTY_SNIPPET]:
+            self._assert_identical(s)
+        self._assert_identical(" ".join(SPECIAL_SNIPPETS))
+
+    def test_boundary_tokens(self):
+        cases = [
+            "k 5k 0k 3.2M b m q z percent percentage https",
+            "https : //host/path?x=1 trailing",
+            "# CamelCaseTag then @ user23 done",
+            "3/4 1 3/4 6\\8 50 % 10-20 % state-of-the-art",
+            "2020 68,800 3 billion 3.5 billion 123,456,789",
+            "The Quick Brown fox; Nasdaq Rally ended",
+            "a1 1a term0042 xyz9 9xyz",
+        ]
+        for c in cases:
+            self._assert_identical(c)
+
+    def test_property_token_soup(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        token = st.one_of(
+            st.sampled_from(
+                ["the", "percent", "percentage", "https", "#", "@", "%",
+                 "5k", "0k", "k", "m", "b", "3/4", "6\\8", "2020", "1,234",
+                 "state-of-the-art", "-start", "thousand", "million",
+                 "Nasdaq", "World", "Health", "Organization", "...",
+                 "term0042", "zzz", "a", "”", "🙂", "世"]
+            ),
+            st.from_regex(r"[a-z0-9]{1,8}", fullmatch=True),
+            st.from_regex(r"[A-Za-z][a-z0-9]{0,6}", fullmatch=True),
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(token, min_size=0, max_size=30))
+        def run(tokens):
+            self._assert_identical(" ".join(tokens))
+
+        run()
