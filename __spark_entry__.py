@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": textstats.q_quality,
         "text_bpe_count": textstats.q_bpe_count,
         "text_fingerprint": textstats.q_fingerprint,
+        "text_rep_ngram": textstats.q_rep_ngram,
         # --- multimodal plumbing --------------------------------------------
         "mm_extract_features": multimodal.mm_extract_features,
         # --- relational glue -------------------------------------------------
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": textstats.SQL_QUALITY,
         "text_bpe_count": textstats.SQL_BPE_COUNT,
         "text_fingerprint": textstats.SQL_FINGERPRINT,
+        "text_rep_ngram": textstats.SQL_REP_NGRAM,
         "mm_extract_features": multimodal.SQL_MM_EXTRACT_FEATURES,
         "rel_pricing_summary": relational.SQL_REL_PRICING_SUMMARY,
         "rel_top_customers": relational.SQL_REL_TOP_CUSTOMERS,

@@ -312,3 +312,67 @@ SELECT doc_id,
 FROM (SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS term FROM documents)
 GROUP BY doc_id
 """
+
+
+# --- repeated n-gram ratio (Gopher/MassiveText-style repetition signal) -----
+# Training-data quality filter: the fraction of a document's word n-grams
+# that are duplicates (1 - distinct/total). High values flag boilerplate /
+# template spam. Count-based variant of the Gopher repetition rules
+# (Rae et al. 2021, §A1.1); `repetitive` applies the 2-gram threshold.
+
+REP_2GRAM_THRESHOLD = 0.05
+
+
+def q_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    g2 = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        " (x, i) -> concat(x, ' ', toks[i+1]))"
+    )
+    g3 = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks)-2, 0)),"
+        " (x, i) -> concat(x, ' ', toks[i+1], ' ', toks[i+2]))"
+    )
+    out = docs.select(
+        "doc_id", g2.alias("g2"), g3.alias("g3")
+    ).select(
+        "doc_id",
+        F.size("g2").cast("long").alias("n_2grams"),
+        F.when(
+            F.size("g2") > 0,
+            F.round(1 - F.size(F.array_distinct("g2")) / F.size("g2"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+        F.when(
+            F.size("g3") > 0,
+            F.round(1 - F.size(F.array_distinct("g3")) / F.size("g3"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_3gram_frac"),
+    )
+    return out.withColumn(
+        "repetitive", F.col("dup_2gram_frac") > REP_2GRAM_THRESHOLD
+    )
+
+
+SQL_REP_NGRAM = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks), 1)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS g2,
+         list_transform(range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+  FROM t)
+SELECT doc_id,
+       len(g2)::BIGINT AS n_2grams,
+       CASE WHEN len(g2) > 0
+            THEN round(1 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g3) > 0
+            THEN round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6)
+            ELSE 0.0 END AS dup_3gram_frac,
+       CASE WHEN len(g2) > 0
+            THEN round(1 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+            ELSE 0.0 END > {REP_2GRAM_THRESHOLD} AS repetitive
+FROM g
+"""
