@@ -190,7 +190,17 @@ def main() -> None:
         "rel_pricing_summary",
         "rel_sessionize",
     ]:
-        timed(name, lambda n=name: q[n](spark, SF_DIR).collect(), repeats=2)
+        # clearCache per run: se_bm25_topk caches its shared token relation
+        # (keyed by logical plan), so a repeat would otherwise measure a
+        # warm cache instead of the cold query r01 timings are based on
+        timed(
+            name,
+            lambda n=name: (
+                spark.catalog.clearCache(),
+                q[n](spark, SF_DIR).collect(),
+            )[1],
+            repeats=2,
+        )
 
     # regression guard vs previous round (only meaningful at the standard
     # sf0.1 / 32-cpu configuration the driver runs)

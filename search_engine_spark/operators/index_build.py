@@ -339,6 +339,34 @@ def build_index(
     # downstream job; split-size tuning gives the same fan-out for free.
     parsed = spark.read.parquet(cat.table_path("parsed")).drop("batch")
     t_parse = time.time()
+    stage_sec, n_docs, _avg_dl = derive_index_tables(spark, cat, parsed, cfg)
+
+    wall = time.time() - t0
+    metrics = {
+        "n_docs": int(n_docs),
+        "wall_sec": wall,
+        "parse_sec": t_parse - t0,
+        "docs_per_sec": (int(n_docs) / wall) if wall > 0 else math.inf,
+        "compressed": compress,
+        "num_buckets": cfg.num_buckets,
+        "stage_sec": stage_sec,
+    }
+    cat.finish_build(metrics)
+    return metrics
+
+
+def derive_index_tables(
+    spark: SparkSession, cat: CatalogAdapter, parsed: DataFrame,
+    cfg: EngineConfig,
+) -> tuple[dict, int, float]:
+    """Stages B1-B3: derive every index table from the staged parse.
+
+    Skips any table already committed in the manifest (resume semantics);
+    also used by streaming compaction (streaming/incremental.py), which
+    appends new parsed batches, drops the derived tables, and re-derives —
+    the expensive parse stage is never recomputed. Returns
+    ``(stage_sec, n_docs, avg_dl)``.
+    """
     stage_sec: dict[str, float] = {}
 
     def _mark(name: str, since: list) -> None:
@@ -346,7 +374,7 @@ def build_index(
         stage_sec[name] = round(now - since[0], 3)
         since[0] = now
 
-    _t = [t_parse]
+    _t = [time.time()]
 
     # ---- stage B1: corpus + doc stats -------------------------------------
     if not cat.has_table("corpus_stats"):
@@ -445,15 +473,4 @@ def build_index(
     cat.set_properties(
         {"codec_format": CODEC_FORMAT_VERSION, "stemming": bool(cfg.stemming)}
     )
-    wall = time.time() - t0
-    metrics = {
-        "n_docs": int(n_docs),
-        "wall_sec": wall,
-        "parse_sec": t_parse - t0,
-        "docs_per_sec": (int(n_docs) / wall) if wall > 0 else math.inf,
-        "compressed": compress,
-        "num_buckets": cfg.num_buckets,
-        "stage_sec": stage_sec,
-    }
-    cat.finish_build(metrics)
-    return metrics
+    return stage_sec, n_docs, avg_dl

@@ -44,19 +44,22 @@ def bm25_topk(
     threshold = int(len(query_terms) * MIN_MATCH)
 
     # Tokenize ONCE: every derived relation (dl, tf, df, corpus stats)
-    # branches off the same (doc_id, term) aggregation, and the whole query
-    # is ONE action — Spark's ReuseExchange dedupes the shared shuffle, so
-    # the corpus is scanned/tokenized once per run instead of ~4× (the old
-    # shape re-derived the explode lineage per branch, plus two separate
-    # collect() jobs for the corpus scalars; at 100 TB re-tokenizing the
-    # corpus per branch dominates the query). The corpus scalars ride a
-    # broadcast single-row crossJoin instead of driver collects. The
-    # production path reads prebuilt index tables (operators/search.py) —
-    # this is the raw-table SQL-gate variant.
+    # branches off the same cached (doc_id, term, tf) aggregation. The
+    # cache is load-bearing: the four branches differ (filters/aggregations
+    # diverge immediately), so Catalyst's ReuseExchange can NOT dedupe them
+    # — without the cache the plan re-scans and re-tokenizes the corpus
+    # 4-5x (verified via explain("formatted"): four separate `Scan parquet`
+    # subtrees), which at 100 TB dominates the query. doc_terms is tiny
+    # relative to the corpus (one row per distinct term per doc). The whole
+    # query is ONE action; the corpus scalars ride a broadcast single-row
+    # crossJoin instead of driver collects. The production path reads
+    # prebuilt index tables (operators/search.py) — this is the raw-table
+    # SQL-gate variant.
     doc_terms = (
         _doc_tokens(spark, sf_dir)
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .cache()
     )
     dl = doc_terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # N counts docs with >=1 token, matching the oracle's dl-derived stats

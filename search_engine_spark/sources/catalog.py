@@ -183,5 +183,18 @@ class CatalogAdapter:
     def build_metrics(self) -> dict | None:
         return self._load()["build"]
 
+    def drop_table(self, name: str) -> None:
+        """Remove one table (data + manifest entry); no-op if absent.
+
+        Used by compaction to invalidate derived tables before re-deriving
+        them from an appended-to base table.
+        """
+        manifest = self._load()
+        if name not in manifest["tables"]:
+            return
+        shutil.rmtree(self.table_path(name), ignore_errors=True)
+        del manifest["tables"][name]
+        self._commit(manifest, "drop", name)
+
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

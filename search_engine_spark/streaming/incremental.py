@@ -84,11 +84,12 @@ def incremental_index_update(
     """Micro-batch incremental index staging over a landing directory.
 
     readStream(web_pages dir) → parse (same Arrow-batched tokenizer) →
-    explode → append (bucket, term, doc_id, doc_length, tf) rows to a
-    staging table. Exactly-once via the streaming checkpoint. A periodic
-    compaction job (index_build.build_index over the union) folds staging
-    into the main index — the Spark-native analog of incremental index
-    maintenance.
+    append the PARSED rows (the index's own staged-parse schema) to a
+    staging table. Exactly-once via the streaming checkpoint.
+    ``compact_staging`` then folds staging into the main index without
+    re-parsing anything — the Spark-native analog of incremental index
+    maintenance (the reference is one-shot: a new corpus file means a full
+    rebuild, indexer.py).
     """
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.operators.parse import parse_corpus
@@ -100,14 +101,7 @@ def incremental_index_update(
     stream = spark.readStream.schema(schema).parquet(incoming_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        parsed = parse_corpus(batch_df, cfg)
-        rows = parsed.select(
-            "bucket", "doc_id", "doc_length", F.explode("terms").alias("kv")
-        ).select(
-            "bucket", "doc_id", "doc_length",
-            F.col("kv.term").alias("term"), F.col("kv.tf").alias("tf"),
-        )
-        rows.write.mode("append").partitionBy("bucket").parquet(staging_dir)
+        parse_corpus(batch_df, cfg).write.mode("append").parquet(staging_dir)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -116,3 +110,61 @@ def incremental_index_update(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_staging(
+    spark: SparkSession,
+    index_path: str,
+    staging_dir: str,
+    config=None,
+) -> dict:
+    """Fold staged parsed rows into the main index (real compaction).
+
+    The scorer requires exactly ONE encoded row per (bucket, term)
+    (operators/search.py builds a term→row map per bucket), so appending
+    staged postings as extra rows would silently shadow existing lists.
+    Instead, compaction exploits the build's own checkpoint structure:
+
+    1. append the staged parse rows (minus already-indexed doc_ids —
+       idempotence under replay/re-crawl) as a new batch of the ``parsed``
+       table, with lineage in the manifest;
+    2. drop the derived tables (corpus_stats, doc_stats[_topical],
+       postings, term_stats);
+    3. re-run the derive stages (``derive_index_tables``) — two shuffles
+       over the parsed relation; the expensive parse is never recomputed.
+
+    Returns the derive-stage metrics. Crash-safe: a rerun after any step
+    re-appends nothing (batch dedupe + anti-join) and re-derives whatever
+    is missing from the manifest.
+    """
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import derive_index_tables
+    from search_engine_spark.sources.catalog import CatalogAdapter
+
+    cfg = config or EngineConfig()
+    cat = CatalogAdapter(index_path)
+    staged = spark.read.parquet(staging_dir)
+
+    existing = spark.read.parquet(cat.table_path("parsed")).select("doc_id")
+    fresh = staged.join(existing, "doc_id", "left_anti")
+
+    batch_id = "compact-%d" % (
+        sum(1 for b in cat.completed_batches("parsed")
+            if str(b).startswith("compact-")) + 1
+    )
+    if fresh.isEmpty():
+        # replay after a completed compaction: nothing to append; fall
+        # through to re-derive whatever a crash may have left missing
+        batch_id = None
+    else:
+        cat.append_batch(fresh, "parsed", batch_id,
+                         metrics={"strategy": "stream_compact",
+                                  "staging_dir": staging_dir})
+        for table in ("corpus_stats", "doc_stats", "doc_stats_topical",
+                      "postings", "term_stats"):
+            cat.drop_table(table)
+
+    parsed = spark.read.parquet(cat.table_path("parsed")).drop("batch")
+    stage_sec, n_docs, avg_dl = derive_index_tables(spark, cat, parsed, cfg)
+    return {"n_docs": int(n_docs), "avg_dl": avg_dl,
+            "batch_id": batch_id, "stage_sec": stage_sec}

@@ -78,36 +78,33 @@ def test_incremental_staging_matches_batch_parse(spark, dirs):
         spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
     )
 
-    staged = (
-        spark.read.parquet(dirs["staging"])
-        .groupBy().agg(
+    def stats(df):
+        return df.select(
+            "doc_id", "doc_length", F.explode("terms").alias("kv")
+        ).groupBy().agg(
             F.count("*").alias("rows"),
             F.countDistinct("doc_id").alias("docs"),
-            F.sum("tf").alias("tf_sum"),
+            F.sum(F.col("kv.tf")).alias("tf_sum"),
+            F.sum("doc_length").alias("dl_sum"),
         ).collect()[0]
-    )
-    batch = parse_corpus(
-        spark.read.parquet(dirs["incoming"]), cfg
-    ).select(
-        "doc_id", F.explode("terms").alias("kv")
-    ).groupBy().agg(
-        F.count("*").alias("rows"),
-        F.countDistinct("doc_id").alias("docs"),
-        F.sum(F.col("kv.tf")).alias("tf_sum"),
-    ).collect()[0]
 
-    assert staged["rows"] == batch["rows"]
-    assert staged["docs"] == batch["docs"]
-    assert staged["tf_sum"] == batch["tf_sum"]
+    staged = stats(spark.read.parquet(dirs["staging"]))
+    batch = stats(parse_corpus(spark.read.parquet(dirs["incoming"]), cfg))
+
+    assert staged == batch
 
 
 def test_compaction_into_main_index(spark, dirs, tmp_path):
-    """Staged + existing corpus compact into a queryable index equal to a
-    from-scratch build over the union."""
+    """Real compaction: stream-staged parsed rows fold into an EXISTING
+    index (no re-parse, no full rebuild) and the result answers queries
+    identically to a from-scratch build over the union corpus."""
     shutil.rmtree(dirs["staging"], ignore_errors=True)
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.operators.search import BM25SearchEngine
     from search_engine_spark.sources.fixtures import generate_web_pages
+    from search_engine_spark.streaming.incremental import (
+        compact_staging, incremental_index_update,
+    )
 
     import pyarrow.parquet as pq
 
@@ -118,13 +115,21 @@ def test_compaction_into_main_index(spark, dirs, tmp_path):
     pq.write_table(full.slice(0, 200), base_path)
     pq.write_table(full.slice(200, 100), more_path)
 
-    # compaction = rebuild over the union of base + landed files
-    union_idx = str(tmp_path / "union_idx")
-    pages = spark.read.parquet(base_path).unionByName(
-        spark.read.parquet(dirs["incoming"])
-    )
-    build_index(spark, pages, union_idx, cfg, resume_batches=1)
+    # 1. main index over the base corpus
+    idx = str(tmp_path / "main_idx")
+    build_index(spark, spark.read.parquet(base_path), idx, cfg,
+                resume_batches=1)
 
+    # 2. new pages land; streaming stages their PARSE exactly-once
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
+    )
+
+    # 3. compaction folds staging into the main index
+    out = compact_staging(spark, idx, dirs["staging"], cfg)
+    assert out["batch_id"] == "compact-1"
+
+    # reference: from-scratch build over the union corpus
     ref_idx = str(tmp_path / "ref_idx")
     all_path = str(tmp_path / "all.parquet")
     pq.write_table(full, all_path)
@@ -132,7 +137,19 @@ def test_compaction_into_main_index(spark, dirs, tmp_path):
                 resume_batches=1)
 
     q = [(1, "term0000 term0003"), (2, "term0001")]
-    a = BM25SearchEngine(spark, union_idx, cfg).search_batch(q, k=5).collect()
+    a = BM25SearchEngine(spark, idx, cfg).search_batch(q, k=5).collect()
     b = BM25SearchEngine(spark, ref_idx, cfg).search_batch(q, k=5).collect()
     key = lambda r: (r["qid"], r["rank"], r["url"], round(r["score"], 10))  # noqa: E731
     assert sorted(map(key, a)) == sorted(map(key, b))
+    assert len(a) == 10
+
+    # term_stats (df incl. M5/M7 pruning) must agree exactly
+    ts_a = sorted(map(tuple, spark.read.parquet(f"{idx}/term_stats").collect()))
+    ts_b = sorted(map(tuple, spark.read.parquet(f"{ref_idx}/term_stats").collect()))
+    assert ts_a == ts_b
+
+    # replay: compacting the already-consumed staging again is a no-op
+    out2 = compact_staging(spark, idx, dirs["staging"], cfg)
+    assert out2["batch_id"] is None
+    a2 = BM25SearchEngine(spark, idx, cfg).search_batch(q, k=5).collect()
+    assert sorted(map(key, a2)) == sorted(map(key, a))
