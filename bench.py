@@ -147,8 +147,18 @@ def main() -> None:
     # --- reference-equivalent single-node baseline -------------------------
     # The reference is a single-threaded pure-Python pipeline; its faithful
     # reimplementation (tests/oracle.py) indexed over a fixture slice gives
-    # the single-node docs/sec the engine must match-or-beat.
+    # the single-node docs/sec the engine must match-or-beat. The timed
+    # span includes persisting the index state the way the reference does —
+    # append-pickle of postings / doc stats / inverted index (reference
+    # utils.py:14-27,71-83, written during indexing via the 200k-term spill
+    # at indexer.py:89-116) — because the Spark side's docs/sec likewise
+    # pays for writing its durable compressed index; an in-memory-only
+    # baseline would overstate the reference (it also pays a spill-file
+    # k-way merge, indexer.py:118-206, NOT charged here).
     def oracle_rate():
+        import pickle
+        import tempfile
+
         import pyarrow.parquet as pq
 
         from tests.oracle import OracleEngine
@@ -169,6 +179,13 @@ def main() -> None:
             for u, ts_, x in zip(urls, tss, txts):
                 eng.add_doc(u, ts_, x)
             eng.finalize()
+            with tempfile.TemporaryDirectory() as d:
+                for name, obj in (("postings", eng.postings),
+                                  ("doc_stats", eng.doc_stats),
+                                  ("inverted_idx", eng.inverted_idx)):
+                    with open(os.path.join(d, name + ".pkl"), "wb") as f:
+                        for kv in obj.items():
+                            pickle.dump(kv, f)
             best = max(best, n / (time.time() - t0))
         return best
 
