@@ -117,15 +117,18 @@ def main() -> None:
         write_web_pages(fixture, N_PAGES)
 
     index_path = os.path.join(CACHE_DIR, f"index_{N_PAGES}_{CPUS}")
-    shutil.rmtree(index_path, ignore_errors=True)
 
     def build():
         from search_engine_spark.operators.index_build import build_index
 
+        # fresh build every repeat (a leftover index would resume-no-op)
+        shutil.rmtree(index_path, ignore_errors=True)
         pages = spark.read.parquet(fixture)
         return build_index(spark, pages, index_path, cfg, resume_batches=1)
 
-    metrics = timed("index_build", build)
+    # best-of-2 like the cheap queries: the build is the headline number and
+    # a single 35 s sample can land entirely inside a contention burst
+    metrics = timed("index_build", build, repeats=2)
     extra["index_docs_per_sec"] = round(metrics["n_docs"] / timings["index_build"], 1)
     extra["index_n_docs"] = metrics["n_docs"]
     for stage, sec in metrics.get("stage_sec", {}).items():
