@@ -65,6 +65,63 @@ def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def stream_event_counts_to_table(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Production-shape variant of ``stream_event_counts``.
+
+    The gate entry above uses complete-mode + a memory sink, which is
+    driver-resident — fine for a deterministic check, wrong at scale. This
+    path runs the same watermarked windowed aggregation in UPDATE mode and
+    upserts each micro-batch's changed groups into a parquet table via
+    dynamic partition overwrite (the parquet-only analog of an Iceberg
+    MERGE). Update mode emits only the (window, event_type) groups whose
+    aggregate changed, carrying the full current value — so the sink
+    partitions by exactly (hour_bucket, event_type) and each batch
+    replaces precisely the partitions it has new values for. State is
+    bounded by the 1-hour watermark; nothing lives on the driver.
+    """
+    batch_schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(batch_schema).parquet(events_dir)
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.floor(F.unix_timestamp(F.col("win.start")) / 3600)
+            .cast("long")
+            .alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hour_bucket", "event_type")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 SQL_STREAM_EVENT_COUNTS = """
 SELECT floor(epoch(ts) / 3600)::BIGINT AS hour_bucket, event_type,
        count(*)::BIGINT AS n_events,

@@ -153,3 +153,55 @@ def test_compaction_into_main_index(spark, dirs, tmp_path):
     assert out2["batch_id"] is None
     a2 = BM25SearchEngine(spark, idx, cfg).search_batch(q, k=5).collect()
     assert sorted(map(key, a2)) == sorted(map(key, a))
+
+
+def test_stream_event_counts_to_table(spark, dirs, tmp_path):
+    """Update-mode parquet-upsert sink: incremental micro-batches converge
+    to the batch aggregation, and a second round updates in place."""
+    import pyarrow.parquet as pq
+
+    events_dir = str(tmp_path / "events_landing")
+    out_dir = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "counts_ckpt")
+    os.makedirs(events_dir)
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, t.num_rows // 2),
+                   os.path.join(events_dir, "part-000.parquet"))
+
+    from search_engine_spark.streaming.incremental import (
+        stream_event_counts_to_table,
+    )
+
+    def batch_agg(paths):
+        import pyspark.sql.functions as F
+        df = spark.read.parquet(*paths)
+        return sorted(
+            map(tuple,
+                df.withColumn("ts", F.col("ts").cast("timestamp"))
+                .groupBy(
+                    F.floor(F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+                    .cast("long").alias("hour_bucket"),
+                    "event_type",
+                )
+                .agg(F.count("*").cast("long").alias("n_events"),
+                     F.round(F.sum("value"), 6).alias("sum_value"))
+                .collect())
+        )
+
+    stream_event_counts_to_table(spark, events_dir, out_dir, ckpt)
+    got1 = sorted(map(tuple, spark.read.parquet(out_dir)
+                      .select("hour_bucket", "event_type",
+                              "n_events", "sum_value").collect()))
+    assert got1 == batch_agg([events_dir])
+
+    # second round: more events land; changed groups are upserted in place
+    pq.write_table(t.slice(t.num_rows // 2),
+                   os.path.join(events_dir, "part-001.parquet"))
+    stream_event_counts_to_table(spark, events_dir, out_dir, ckpt)
+    got2 = sorted(map(tuple, spark.read.parquet(out_dir)
+                      .select("hour_bucket", "event_type",
+                              "n_events", "sum_value").collect()))
+    assert got2 == batch_agg([events_dir])
+    assert got2 != got1
