@@ -50,19 +50,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": dedup.dedup_minhash_signatures,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_lsh_verified": dedup.dedup_lsh_verified,
         "dedup_embedding_nn": similarity.dedup_embedding_neighbors,
         # --- similarity search ----------------------------------------------
         "sim_bruteforce_topk": similarity.sim_bruteforce_topk,
         "sim_lsh_buckets": similarity.sim_lsh_buckets,
+        "sim_lsh_topk": similarity.sim_lsh_topk,
         "sim_ivf_topk": similarity.sim_ivf_topk,
+        "sim_ivf_kmeans_topk": similarity.sim_ivf_kmeans_topk,
         # --- text analysis --------------------------------------------------
         "text_langid": textstats.q_langid,
         "text_quality": textstats.q_quality,
         "text_bpe_count": textstats.q_bpe_count,
         "text_fingerprint": textstats.q_fingerprint,
         "text_rep_ngram": textstats.q_rep_ngram,
-        # --- multimodal plumbing --------------------------------------------
+        # --- multimodal decode ----------------------------------------------
         "mm_extract_features": multimodal.mm_extract_features,
+        "mm_image_dims": multimodal.mm_image_dims,
         # --- relational glue -------------------------------------------------
         "rel_pricing_summary": relational.rel_pricing_summary,
         "rel_top_customers": relational.rel_top_customers,
@@ -91,16 +95,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sigs": dedup.SQL_DEDUP_MINHASH_SIGNATURES,
         "dedup_minhash_lsh": dedup.SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash": dedup.SQL_DEDUP_SIMHASH,
+        "dedup_lsh_verified": dedup.SQL_DEDUP_LSH_VERIFIED,
         "dedup_embedding_nn": similarity.SQL_DEDUP_EMBEDDING_NEIGHBORS,
         "sim_bruteforce_topk": similarity.SQL_SIM_BRUTEFORCE_TOPK,
         "sim_lsh_buckets": similarity.sql_sim_lsh_buckets(),
+        "sim_lsh_topk": similarity.sql_sim_lsh_topk(),
         "sim_ivf_topk": similarity.SQL_SIM_IVF_TOPK,
+        "sim_ivf_kmeans_topk": similarity.sql_sim_ivf_kmeans_topk(),
         "text_langid": textstats.SQL_LANGID,
         "text_quality": textstats.SQL_QUALITY,
         "text_bpe_count": textstats.SQL_BPE_COUNT,
         "text_fingerprint": textstats.SQL_FINGERPRINT,
         "text_rep_ngram": textstats.SQL_REP_NGRAM,
         "mm_extract_features": multimodal.SQL_MM_EXTRACT_FEATURES,
+        "mm_image_dims": multimodal.SQL_MM_IMAGE_DIMS,
         "rel_pricing_summary": relational.SQL_REL_PRICING_SUMMARY,
         "rel_top_customers": relational.SQL_REL_TOP_CUSTOMERS,
         "rel_event_windows": relational.SQL_REL_EVENT_WINDOWS,

@@ -34,17 +34,20 @@ CACHE_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE", os.path.join(os.path.dirname(__file__), ".bench_cache")
 )
 
-#: previous-round per-query seconds (BENCH_r01.json, sf0.1, 32 cpus) —
-#: regression guard: any query slower than PREV_ROUND * (1 + TOLERANCE)
-#: is flagged in extra["regressions"]. Update each round.
+#: previous-round per-query seconds (BENCH_r02.json, sf0.1, 32 cpus,
+#: 150k-page build) — regression guard: any query slower than
+#: PREV_ROUND * (1 + TOLERANCE) is flagged in extra["regressions"].
+#: Update each round.
 PREV_ROUND = {
-    "se_bm25_topk": 2.397,
-    "se_term_df": 0.424,
-    "dedup_minhash_lsh": 3.033,
-    "sim_bruteforce_topk": 1.043,
-    "text_fingerprint": 0.65,
-    "rel_pricing_summary": 0.483,
-    "rel_sessionize": 0.559,
+    "index_build": 11.801,
+    "bm25_query_batch": 1.633,
+    "se_bm25_topk": 2.346,
+    "se_term_df": 0.279,
+    "dedup_minhash_lsh": 1.4,
+    "sim_bruteforce_topk": 0.627,
+    "text_fingerprint": 0.465,
+    "rel_pricing_summary": 0.332,
+    "rel_sessionize": 0.407,
 }
 #: r01 measured index_build/bm25_query_batch at 50k pages — only
 #: comparable when N_PAGES matches
@@ -205,7 +208,10 @@ def main() -> None:
         "se_bm25_topk",
         "se_term_df",
         "dedup_minhash_lsh",
+        "dedup_lsh_verified",
         "sim_bruteforce_topk",
+        "sim_lsh_topk",
+        "mm_image_dims",
         "text_fingerprint",
         "rel_pricing_summary",
         "rel_sessionize",
@@ -226,6 +232,9 @@ def main() -> None:
     # sf0.1 / 32-cpu configuration the driver runs)
     if _sf_label(SF_DIR) == 0.1 and int(CPUS) == 32:
         prev_all = dict(PREV_ROUND)
+        if N_PAGES != 150_000:  # build numbers only comparable at 150k pages
+            prev_all.pop("index_build", None)
+            prev_all.pop("bm25_query_batch", None)
         if N_PAGES == 50_000:
             prev_all.update(PREV_ROUND_50K)
         regressions = {

@@ -26,10 +26,57 @@ import shutil
 import statistics
 import subprocess
 import sys
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _cpu_ticks() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals), idle
+
+
+def contention_probe(max_busy_cores: float = 2.5,
+                     min_gbps: float = 3.5) -> dict:
+    """Cheap host-contention check, instantaneous by construction.
+
+    Two signals sampled over the same ~1.5 s window:
+
+    - busy-core count from /proc/stat deltas — how many cores are busy
+      RIGHT NOW (the probe itself accounts for ~1). Unlike 1-minute
+      loadavg, this is not polluted by our own just-finished benchmark
+      run, so a quiet host probes clean immediately after a round;
+    - single-process memcpy bandwidth (clean-window reference on this
+      host ~4.7 GB/s; contended windows observed <2 GB/s).
+
+    A round only counts as *clean* when the probe passes both before and
+    after it — external load arriving mid-round shows up in the post
+    probe."""
+    import numpy as np
+
+    buf = np.frombuffer(np.random.bytes(64 * 1024 * 1024), np.uint8).copy()
+    tot0, idle0 = _cpu_ticks()
+    t0 = time.time()
+    mb = 0
+    while time.time() - t0 < 1.5:
+        b2 = buf.copy()
+        mb += 64
+        del b2
+    gbps = mb / (time.time() - t0) / 1024
+    tot1, idle1 = _cpu_ticks()
+    dtot, didle = tot1 - tot0, idle1 - idle0
+    ncpu = os.cpu_count() or 32
+    busy_cores = (1 - didle / dtot) * ncpu if dtot else 0.0
+    return {
+        "busy_cores": round(busy_cores, 2),
+        "memcpy_gbps": round(gbps, 2),
+        "clean": busy_cores <= max_busy_cores and gbps >= min_gbps,
+    }
 
 
 def make_pyfiles_zip(dest: str) -> str:
@@ -84,11 +131,37 @@ def run_levels(levels: list, pages: str, work: str, runs: int,
     for c in levels:  # one discarded warm-up per level (page cache)
         run_one(c, pages, work, zip_path, "warmup", pin)
     by_level: dict[int, list] = {c: [] for c in levels}
-    for i in range(runs):
+    rounds: list[dict] = []
+    clean_target = int(os.environ.get("SCALING_CLEAN_ROUNDS", "0"))
+    max_rounds = int(os.environ.get("SCALING_MAX_ROUNDS", str(max(runs, 12))))
+    i = 0
+    clean_count = 0
+    while True:
+        if clean_target:
+            if clean_count >= clean_target or i >= max_rounds:
+                break
+        elif i >= runs:
+            break
+        pre = contention_probe()
+        waited = 0
+        while clean_target and not pre["clean"] and waited < 600:
+            print(f"[gate] contended pre-probe {pre}, sleeping 60s",
+                  file=sys.stderr)
+            time.sleep(60)
+            waited += 60
+            pre = contention_probe()
+        rnd = {"pre_probe": pre, "levels": {}}
         for c in levels:
-            by_level[c].append(
-                run_one(c, pages, work, zip_path, f"run{i+1}", pin)
-            )
+            rec = run_one(c, pages, work, zip_path, f"run{i+1}", pin)
+            rnd["levels"][str(c)] = rec
+            by_level[c].append(rec)
+        rnd["post_probe"] = contention_probe()
+        rnd["clean"] = pre["clean"] and rnd["post_probe"]["clean"]
+        clean_count += rnd["clean"]
+        print(f"[round {i+1}] clean={rnd['clean']} "
+              f"(total clean: {clean_count})", file=sys.stderr)
+        rounds.append(rnd)
+        i += 1
     out = {}
     for c, results in by_level.items():
         med = lambda k: statistics.median(r[k] for r in results)  # noqa: E731
@@ -105,7 +178,7 @@ def run_levels(levels: list, pages: str, work: str, runs: int,
             ],
             "n_docs": results[0]["n_docs"],
         }
-    return out
+    return out, rounds
 
 
 def update_baseline_md(summary: dict) -> None:
@@ -132,10 +205,17 @@ def update_baseline_md(summary: dict) -> None:
     ]
     for pair, eff in summary.get("pairs", {}).items():
         rm = eff.get("efficiency_round_median")
+        cm = eff.get("efficiency_clean_median")
+        clean_part = (
+            f"CLEAN-WINDOW median {cm:.2f} over "
+            f"{len(eff.get('efficiency_clean_rounds', []))} gated rounds "
+            f"(loadavg+memcpy probe pre & post), "
+            if cm is not None else ""
+        )
         rows.append(
             f"| scaling efficiency {pair} (N→4N) | "
             + " | ".join("—" for _ in keys)
-            + f" | round-paired median {rm:.2f} "
+            + f" | {clean_part}all-round median {rm:.2f} "
               f"(rounds: {eff.get('efficiency_per_round')}), "
               f"level-median {eff['efficiency_median']:.2f}, "
               f"best-run {eff['efficiency_best']:.2f} |"
@@ -167,9 +247,11 @@ def main() -> None:
 
     levels = [int(x) for x in args.levels.split(",")]
     out = {"levels": {}, "n_pages": args.n_pages}
-    out["levels"] = run_levels(levels, pages, work, args.runs, zip_path,
-                               args.pin)
+    out["levels"], rounds = run_levels(levels, pages, work, args.runs,
+                                       zip_path, args.pin)
+    out["rounds"] = rounds
     out["pinned"] = args.pin
+    out["clean_round_count"] = sum(r["clean"] for r in rounds)
 
     # efficiency for every N → 4N pair present
     out["pairs"] = {}
@@ -186,6 +268,12 @@ def main() -> None:
                 round(h["docs_per_sec"] / l["docs_per_sec"] / 4, 3)
                 for l, h in zip(lo_runs, hi_runs)
             ]
+            clean_rounds = [
+                round(r["levels"][hi]["docs_per_sec"]
+                      / r["levels"][lo]["docs_per_sec"] / 4, 3)
+                for r in rounds
+                if r["clean"] and lo in r["levels"] and hi in r["levels"]
+            ]
             out["pairs"][f"{lo}->{hi}"] = {
                 "efficiency_median": round(
                     (out["levels"][hi]["median_docs_per_sec"]
@@ -196,6 +284,10 @@ def main() -> None:
                 "efficiency_per_round": per_round,
                 "efficiency_round_median": round(
                     statistics.median(per_round), 3) if per_round else None,
+                "efficiency_clean_rounds": clean_rounds,
+                "efficiency_clean_median": round(
+                    statistics.median(clean_rounds), 3
+                ) if clean_rounds else None,
             }
     first = sorted(out["pairs"])
     out["scaling_efficiency"] = (

@@ -232,13 +232,15 @@ def _plan_parse_batches(
     filtering the full relation by a hash slice per batch. Correct, but
     re-scans the input once per batch; callers should pass a bare scan.
     """
-    import os
-
     bare_scan = False
     try:
         analyzed = pages._jdf.queryExecution().analyzed().toString()
-        bare_scan = analyzed.strip().startswith("Relation") and (
-            "\n+" not in analyzed and "\n:" not in analyzed
+        # the file-level path re-reads each group with spark.read.parquet,
+        # so it is only valid for an untransformed PARQUET relation
+        bare_scan = (
+            analyzed.strip().startswith("Relation")
+            and "parquet" in analyzed.lower()
+            and ("\n+" not in analyzed and "\n:" not in analyzed)
         )
     except Exception:
         bare_scan = False
@@ -249,30 +251,10 @@ def _plan_parse_batches(
         except Exception:
             files = []
 
-    out: list[tuple[str, DataFrame, dict]] = []
     if files and len(files) >= resume_batches:
-        n = len(files)
-        base, rem = divmod(n, resume_batches)
-        start = 0
-        for i in range(resume_batches):
-            size = base + (1 if i < rem else 0)
-            group = files[start:start + size]
-            start += size
-            nbytes = 0
-            for f in group:
-                p = f[7:] if f.startswith("file://") else f
-                try:
-                    nbytes += os.path.getsize(p)
-                except OSError:
-                    pass
-            subset = spark.read.schema(pages.schema).parquet(*group)
-            out.append(
-                (str(i), subset,
-                 {"strategy": "files", "input_files": group,
-                  "input_bytes": nbytes})
-            )
-        return out
+        return _file_groups(spark, pages.schema, files, resume_batches, "")
 
+    out: list[tuple[str, DataFrame, dict]] = []
     for i in range(resume_batches):
         subset = pages.filter(
             F.pmod(
@@ -283,6 +265,84 @@ def _plan_parse_batches(
         )
         out.append((str(i), subset, {"strategy": "hash_slice"}))
     return out
+
+
+def _file_groups(
+    spark: SparkSession, schema, files: list[str], n_groups: int, id_prefix: str
+) -> list[tuple[str, DataFrame, dict]]:
+    """Partition ``files`` into ``n_groups`` contiguous batches with lineage."""
+    import os
+
+    out: list[tuple[str, DataFrame, dict]] = []
+    n = len(files)
+    n_groups = max(1, min(n_groups, n))
+    base, rem = divmod(n, n_groups)
+    start = 0
+    for i in range(n_groups):
+        size = base + (1 if i < rem else 0)
+        group = files[start:start + size]
+        start += size
+        nbytes = 0
+        for f in group:
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                nbytes += os.path.getsize(p)
+            except OSError:
+                pass
+        subset = spark.read.schema(schema).parquet(*group)
+        out.append(
+            (f"{id_prefix}{i}", subset,
+             {"strategy": "files", "input_files": group,
+              "input_bytes": nbytes})
+        )
+    return out
+
+
+def _reconcile_resume_plan(
+    spark: SparkSession,
+    cat: CatalogAdapter,
+    plan: list[tuple[str, DataFrame, dict]],
+    entries: list[dict],
+    resume_batches: int,
+    schema,
+) -> list[tuple[str, DataFrame, dict]]:
+    """Validate recorded resume lineage against the freshly planned batches.
+
+    File-level resume is only sound when every file a completed batch
+    recorded is still part of the CURRENT input listing — files added or
+    removed between the crash and the resume would otherwise remap batch
+    ids onto different file groups (docs silently skipped or parsed twice).
+
+    - all recorded inputs still present → process only the not-yet-covered
+      files, regrouped under fresh batch ids (completed work is kept);
+    - a recorded input vanished, or the slicing strategy changed between
+      runs → the staged parse no longer matches the input: drop it and
+      rebuild from scratch (correctness over resume savings);
+    - hash-slice on both sides → slices are content-addressed (url hash),
+      stable across runs: keep the plan as-is.
+    """
+    if not entries:
+        return plan
+    file_plan = bool(plan) and plan[0][2].get("strategy") == "files"
+    file_entries = all(e.get("strategy") == "files" and e.get("input_files")
+                      for e in entries)
+    if file_plan and file_entries:
+        current = [f for _bid, _df, lin in plan for f in lin["input_files"]]
+        current_set = set(current)
+        covered: set[str] = set()
+        for e in entries:
+            covered.update(e["input_files"])
+        if covered - current_set:
+            cat.drop_table("parsed")
+            return plan
+        remaining = [f for f in current if f not in covered]
+        if not remaining:
+            return []
+        return _file_groups(spark, schema, remaining, resume_batches,
+                            f"resume{len(entries)}-")
+    if file_plan != file_entries:
+        cat.drop_table("parsed")
+    return plan
 
 
 def build_index(
@@ -321,10 +381,13 @@ def build_index(
     target_par = cfg.parse_partitions or spark.sparkContext.defaultParallelism
     scan_par = _estimate_scan_splits(pages, cfg, target_par)
     if not cat.is_complete("parsed"):
+        plan = _plan_parse_batches(spark, pages, resume_batches, cfg)
+        plan = _reconcile_resume_plan(
+            spark, cat, plan, cat.batch_entries("parsed"), resume_batches,
+            pages.schema,
+        )
         done = set(cat.completed_batches("parsed"))
-        for batch_id, subset, lineage in _plan_parse_batches(
-            spark, pages, resume_batches, cfg
-        ):
+        for batch_id, subset, lineage in plan:
             if batch_id in done:
                 continue
             if scan_par < target_par:
@@ -468,9 +531,66 @@ def derive_index_tables(
     # Stamp the on-disk layout + parse-mode so readers can validate
     # compatibility (WAND safety depends on the idf-free block_max layout;
     # query-side tokenization must match the build's stemming mode).
+    # Stamped ONCE, on the initial build: a re-derive (streaming
+    # compaction) must run under the stamped semantics, never re-stamp —
+    # re-stamping from a default config would silently flip e.g. the
+    # stemming flag and make queries tokenize against the wrong vocabulary.
     from search_engine_spark.operators.codec import CODEC_FORMAT_VERSION
 
-    cat.set_properties(
-        {"codec_format": CODEC_FORMAT_VERSION, "stemming": bool(cfg.stemming)}
-    )
+    props = cat.properties()
+    if "codec_format" not in props:
+        cat.set_properties({
+            "codec_format": CODEC_FORMAT_VERSION,
+            "stemming": bool(cfg.stemming),
+            "topical_terms": list(cfg.topical_terms),
+            "glove_path": cfg.glove_path,
+            "glove_dim": cfg.glove_dim,
+            "num_buckets": cfg.num_buckets,
+        })
+    else:
+        _check_config_vs_properties(cfg, props)
     return stage_sec, n_docs, avg_dl
+
+
+def _check_config_vs_properties(cfg: EngineConfig, props: dict) -> None:
+    """Raise if a config contradicts the index's build-time stamps."""
+    mismatches = []
+    for key, val in (
+        ("stemming", bool(cfg.stemming)),
+        ("topical_terms", list(cfg.topical_terms)),
+        ("glove_path", cfg.glove_path),
+        ("glove_dim", cfg.glove_dim),
+        ("num_buckets", cfg.num_buckets),
+    ):
+        if key in props and props[key] != val:
+            mismatches.append(f"{key}: index={props[key]!r} config={val!r}")
+    if mismatches:
+        raise ValueError(
+            "config contradicts the index's build-time property stamps "
+            "(pass no config to adopt the stamped one): "
+            + "; ".join(mismatches)
+        )
+
+
+def config_from_properties(
+    props: dict, explicit: EngineConfig | None = None
+) -> EngineConfig:
+    """EngineConfig reconstructed from an index's manifest property stamps.
+
+    Used by streaming compaction so a re-derive adopts the ORIGINAL build
+    semantics (stemming mode, topical shards, glove, bucket count) instead
+    of a fresh default config. An ``explicit`` config is validated against
+    the stamps and returned (it may carry non-semantic tuning knobs); a
+    contradiction raises rather than silently rebuilding a different index.
+    """
+    if explicit is not None:
+        _check_config_vs_properties(explicit, props)
+        return explicit
+    defaults = EngineConfig()
+    return EngineConfig(
+        stemming=bool(props.get("stemming", defaults.stemming)),
+        topical_terms=tuple(props.get("topical_terms") or ()),
+        glove_path=props.get("glove_path", defaults.glove_path),
+        glove_dim=int(props.get("glove_dim", defaults.glove_dim)),
+        num_buckets=int(props.get("num_buckets", defaults.num_buckets)),
+    )

@@ -35,6 +35,21 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cached tokenized relations from prior bm25_topk calls. The cache must
+#: outlive the function (the caller triggers the action on the returned
+#: lazy DataFrame), so it cannot be unpersisted before return; instead
+#: each call evicts the previous call's cache, bounding executor storage
+#: to one cached relation per session. Callers that want a fully clean
+#: session call release_cache() after consuming their result.
+_CACHED: list[DataFrame] = []
+
+
+def release_cache() -> None:
+    """Unpersist every tokenized relation cached by bm25_topk."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
 def bm25_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -55,12 +70,14 @@ def bm25_topk(
     # crossJoin instead of driver collects. The production path reads
     # prebuilt index tables (operators/search.py) — this is the raw-table
     # SQL-gate variant.
+    release_cache()  # evict the previous call's tokenized relation
     doc_terms = (
         _doc_tokens(spark, sf_dir)
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
         .cache()
     )
+    _CACHED.append(doc_terms)
     dl = doc_terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # N counts docs with >=1 token, matching the oracle's dl-derived stats
     stats = dl.agg(

@@ -258,6 +258,108 @@ JOIN sig sb ON sb.doc_id = doc_b
 """
 
 
+# --- LSH + exact verify (the production 100 TB dedup recipe) -----------------
+
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation chained into exact-Jaccard verify.
+
+    The canonical web-scale dedup composition: banded LSH proposes
+    candidate pairs (no all-pairs — O(band collisions)), then exact
+    Jaccard over each doc's rare-shingle set (hot-shingle ceiling, same
+    semantics as dedup_ngram_jaccard) confirms them. Only candidate pairs
+    ever touch the verify join, so the expensive exact comparison runs on
+    the LSH survivors instead of the corpus square.
+    """
+    cand = dedup_minhash_lsh(spark, sf_dir).cache()
+    raw = _shingles(spark, sf_dir)
+    rare = (
+        raw.groupBy("shingle")
+        .agg(F.count("*").alias("shingle_df"))
+        .filter(F.col("shingle_df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = raw.join(rare, "shingle").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .join(cand, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard",
+                F.col("n_common").cast("long").alias("n_common"))
+    )
+
+
+SQL_DEDUP_LSH_VERIFIED = f"""
+WITH sig AS ({_sql_minhash_signatures()}),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {band} AS band, mh{2*band}::BIGINT * {P31} + mh{2*band+1} AS band_hash FROM sig"
+      for band in range(N_BANDS)
+  )}
+),
+cand AS (
+  SELECT doc_a, doc_b,
+         round(({" + ".join(
+             f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+             for j in range(N_HASHES)
+         )})::DOUBLE / {N_HASHES}, 6) AS est_jaccard
+  FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  )
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+),
+raw_shingles AS ({_SQL_SHINGLES}),
+rare AS (
+  SELECT shingle FROM raw_shingles
+  GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+shingles AS (
+  SELECT doc_id, shingle FROM raw_shingles JOIN rare USING (shingle)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, c.est_jaccard,
+       round(i.n_common::DOUBLE / (sa.n + sb.n - i.n_common), 6) AS jaccard,
+       i.n_common
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+JOIN cand c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+WHERE round(i.n_common::DOUBLE / (sa.n + sb.n - i.n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

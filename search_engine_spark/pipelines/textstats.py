@@ -100,12 +100,19 @@ FROM (SELECT len({SQL_TOKENS}) AS dl FROM documents)
 # --- idf (Q2 analog: log10(N/df), df>1 prune M5) ----------------------------
 
 def q_term_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # N rides a broadcast single-row crossJoin (same pattern as
+    # bm25_sql.bm25_topk) — ONE job, no separate docs.count() action and
+    # no second corpus scan on the driver's behalf
     docs = load(spark, sf_dir, "documents")
-    n = docs.count()
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     return (
         q_term_df(spark, sf_dir)
         .filter(F.col("df") > 1)
-        .select("term", "df", F.round(F.log10(F.lit(n) / F.col("df")), 6).alias("idf"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", "df",
+            F.round(F.log10(F.col("n_docs") / F.col("df")), 6).alias("idf"),
+        )
     )
 
 

@@ -29,12 +29,53 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: session conf key naming the Iceberg namespace (e.g. ``ice.search_index``)
+#: that CatalogAdapter should write through. Unset → parquet+manifest mode.
+ICEBERG_NAMESPACE_CONF = "spark.searchengine.iceberg.namespace"
+
+
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 class CatalogAdapter:
     MANIFEST = "_manifest.json"
 
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+
+    # -- Iceberg routing ---------------------------------------------------
+    def _iceberg_ns(self, spark: SparkSession) -> str | None:
+        """The Iceberg namespace to write through, or None for parquet mode.
+
+        Enabled only when BOTH hold: the session names a namespace under
+        ``ICEBERG_NAMESPACE_CONF`` (catalog registered via
+        ``spark.sql.catalog.<name>`` confs as usual) and the Iceberg
+        runtime class actually loads. This sandbox ships no Iceberg jar,
+        so local runs always take the parquet+manifest branch — the
+        sandbox-bounded stand-in with the same snapshot/lineage semantics
+        (see module docstring); a cluster with the jar flips over without
+        code changes.
+        """
+        try:
+            ns = spark.conf.get(ICEBERG_NAMESPACE_CONF, None)
+        except Exception:
+            ns = None
+        if not ns:
+            return None
+        return ns if iceberg_runtime_available(spark) else None
+
+    def _iceberg_ident(self, spark: SparkSession, name: str) -> str | None:
+        ns = self._iceberg_ns(spark)
+        return f"{ns}.{name}" if ns else None
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -77,6 +118,29 @@ class CatalogAdapter:
         partition_by: list[str] | None = None,
         max_records_per_file: int | None = None,
     ) -> None:
+        ident = self._iceberg_ident(df.sparkSession, name)
+        if ident:
+            writer = df.writeTo(ident).using("iceberg")
+            if max_records_per_file:
+                writer = writer.tableProperty(
+                    "write.target-file-size-bytes", str(64 * 1024 * 1024)
+                )
+            if partition_by:
+                from pyspark.sql.functions import col
+
+                writer = writer.partitionedBy(
+                    col(partition_by[0]), *[col(c) for c in partition_by[1:]]
+                )
+            writer.createOrReplace()
+            manifest = self._load()
+            manifest["tables"][name] = {
+                "path": self.table_path(name),
+                "iceberg_ident": ident,
+                "partition_by": partition_by or [],
+                "batches": [],
+            }
+            self._commit(manifest, "create", name)
+            return
         tmp = os.path.join(self.root, f"_tmp.{name}")
         final = self.table_path(name)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -97,14 +161,22 @@ class CatalogAdapter:
         self._commit(manifest, "create", name)
 
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
-        if not self.has_table(name):
+        entry = self._load()["tables"].get(name)
+        if entry is None:
             raise FileNotFoundError(f"table {name} not committed in {self.root}")
+        if entry.get("iceberg_ident"):
+            return spark.table(entry["iceberg_ident"])
         return spark.read.parquet(self.table_path(name))
 
     # -- batch (per-partition lineage) ops ---------------------------------
     def completed_batches(self, name: str) -> list[str]:
         t = self._load()["tables"].get(name)
         return [b["batch_id"] for b in (t or {}).get("batches", [])]
+
+    def batch_entries(self, name: str) -> list[dict]:
+        """Full manifest entries (lineage included) for a table's batches."""
+        t = self._load()["tables"].get(name)
+        return list((t or {}).get("batches", []))
 
     def append_batch(
         self,
@@ -120,6 +192,7 @@ class CatalogAdapter:
         overwritten on retry — exactly-once at batch granularity.
         """
         manifest = self._load()
+        existed = name in manifest["tables"]
         t = manifest["tables"].setdefault(
             name,
             {"path": self.table_path(name), "partition_by": partition_by or [],
@@ -128,6 +201,32 @@ class CatalogAdapter:
         if any(b["batch_id"] == batch_id for b in t["batches"]):
             return
         t0 = time.time()
+        ident = self._iceberg_ident(df.sparkSession, name)
+        if ident:
+            from pyspark.sql.functions import lit
+
+            spark = df.sparkSession
+            tagged = df.withColumn("batch", lit(batch_id))
+            if not existed:
+                tagged.writeTo(ident).using("iceberg").createOrReplace()
+            else:
+                # idempotence under replay: a crash after the Iceberg
+                # commit but before the manifest commit must not double
+                # the batch on retry
+                spark.sql(f"DELETE FROM {ident} WHERE batch = '{batch_id}'")
+                tagged.writeTo(ident).append()
+            t["iceberg_ident"] = ident
+            n_rows = (
+                spark.table(ident).where(f"batch = '{batch_id}'").count()
+            )
+            entry = {"batch_id": batch_id, "rows": n_rows,
+                     "wall_sec": time.time() - t0}
+            if metrics:
+                entry.update(metrics)
+            t["batches"].append(entry)
+            self._commit(manifest, "append_batch", name,
+                         {"batch_id": batch_id})
+            return
         dest = os.path.join(self.table_path(name), f"batch={batch_id}")
         tmp = os.path.join(self.root, f"_tmp.{name}.{batch_id}")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -192,6 +291,11 @@ class CatalogAdapter:
         manifest = self._load()
         if name not in manifest["tables"]:
             return
+        ident = manifest["tables"][name].get("iceberg_ident")
+        if ident:
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {ident}")
         shutil.rmtree(self.table_path(name), ignore_errors=True)
         del manifest["tables"][name]
         self._commit(manifest, "drop", name)

@@ -23,46 +23,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed streaming aggregation, availableNow → memory sink → DF."""
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # stream the containing directory (FileStreamSource needs a dir) but
-    # match only the events table file
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    """Gate entry: the PRODUCTION streaming path, end to end.
+
+    Runs the update-mode watermarked windowed aggregation with the
+    parquet dynamic-partition-overwrite upsert sink
+    (``stream_event_counts_to_table``) against a fresh checkpoint, then
+    returns the sink table read back from disk — so the driver-gate hash
+    certifies the production-shape sink, not a driver-resident memory
+    sink. availableNow + a fresh checkpoint makes the read-back
+    deterministic (every event processed exactly once, each partition
+    holding its final aggregate)."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=f"stream_gate_{uuid.uuid4().hex[:8]}_")
+    out_dir = f"{work}/counts"
+    stream_event_counts_to_table(
+        spark, sf_dir, out_dir, f"{work}/ckpt",
+        path_glob="events.parquet",
     )
-    agg = (
-        # parquet stores TIMESTAMP_NTZ; watermarking needs TIMESTAMP (UTC session)
-        stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 hour")
-        .groupBy(
-            F.window("ts", "1 hour").alias("win"),
-            "event_type",
-        )
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
-        .select(
-            F.floor(F.unix_timestamp(F.col("win.start")) / 3600)
-            .cast("long")
-            .alias("hour_bucket"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
+    return spark.read.parquet(out_dir).select(
+        F.col("hour_bucket").cast("long"),
+        F.col("event_type").cast("string"),
+        F.col("n_events").cast("long"),
+        "sum_value",
     )
-    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
 
 
 def stream_event_counts_to_table(
@@ -70,6 +54,7 @@ def stream_event_counts_to_table(
     events_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    path_glob: str | None = None,
 ) -> None:
     """Production-shape variant of ``stream_event_counts``.
 
@@ -84,8 +69,14 @@ def stream_event_counts_to_table(
     replaces precisely the partitions it has new values for. State is
     bounded by the 1-hour watermark; nothing lives on the driver.
     """
-    batch_schema = spark.read.parquet(events_dir).schema
-    stream = spark.readStream.schema(batch_schema).parquet(events_dir)
+    reader = spark.read
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    batch_schema = reader.parquet(events_dir).schema
+    sreader = spark.readStream.schema(batch_schema)
+    if path_glob:
+        sreader = sreader.option("pathGlobFilter", path_glob)
+    stream = sreader.parquet(events_dir)
     agg = (
         stream.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
@@ -182,28 +173,51 @@ def compact_staging(
     staged postings as extra rows would silently shadow existing lists.
     Instead, compaction exploits the build's own checkpoint structure:
 
-    1. append the staged parse rows (minus already-indexed doc_ids —
-       idempotence under replay/re-crawl) as a new batch of the ``parsed``
-       table, with lineage in the manifest;
-    2. drop the derived tables (corpus_stats, doc_stats[_topical],
-       postings, term_stats);
+    1. drop the derived tables (corpus_stats, doc_stats[_topical],
+       postings, term_stats) — drop-FIRST so that a crash at any later
+       point leaves no stale derived table for a replay to trust;
+    2. append the staged parse rows (minus already-indexed doc_ids —
+       idempotence under replay/re-crawl, and minus duplicates WITHIN
+       staging from foreachBatch retries or re-crawls of the same url)
+       as a new batch of the ``parsed`` table, with lineage in the
+       manifest;
     3. re-run the derive stages (``derive_index_tables``) — two shuffles
        over the parsed relation; the expensive parse is never recomputed.
 
+    The engine config is reconstructed from the manifest's build-time
+    property stamps (stemming, topical_terms, glove, buckets), so
+    compacting a stemmed or topical index without the original config
+    object cannot silently flip its semantics; an explicitly passed
+    ``config`` that contradicts the stamps raises.
+
     Returns the derive-stage metrics. Crash-safe: a rerun after any step
     re-appends nothing (batch dedupe + anti-join) and re-derives whatever
-    is missing from the manifest.
+    is missing from the manifest (the drops in step 1 replay as no-ops).
     """
-    from search_engine_spark.config import EngineConfig
-    from search_engine_spark.operators.index_build import derive_index_tables
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.index_build import (
+        config_from_properties, derive_index_tables,
+    )
     from search_engine_spark.sources.catalog import CatalogAdapter
 
-    cfg = config or EngineConfig()
     cat = CatalogAdapter(index_path)
+    cfg = config_from_properties(cat.properties(), explicit=config)
     staged = spark.read.parquet(staging_dir)
 
     existing = spark.read.parquet(cat.table_path("parsed")).select("doc_id")
-    fresh = staged.join(existing, "doc_id", "left_anti")
+    # latest-wins within staging: the same doc_id can appear twice in the
+    # staging dir (foreachBatch retry re-appending after a partial write,
+    # or the same url crawled twice before compaction ran)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("warc_ts").desc_nulls_last(), F.col("url")
+    )
+    fresh = (
+        staged.join(existing, "doc_id", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     batch_id = "compact-%d" % (
         sum(1 for b in cat.completed_batches("parsed")
@@ -214,12 +228,12 @@ def compact_staging(
         # through to re-derive whatever a crash may have left missing
         batch_id = None
     else:
-        cat.append_batch(fresh, "parsed", batch_id,
-                         metrics={"strategy": "stream_compact",
-                                  "staging_dir": staging_dir})
         for table in ("corpus_stats", "doc_stats", "doc_stats_topical",
                       "postings", "term_stats"):
             cat.drop_table(table)
+        cat.append_batch(fresh, "parsed", batch_id,
+                         metrics={"strategy": "stream_compact",
+                                  "staging_dir": staging_dir})
 
     parsed = spark.read.parquet(cat.table_path("parsed")).drop("batch")
     stage_sec, n_docs, avg_dl = derive_index_tables(spark, cat, parsed, cfg)

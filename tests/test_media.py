@@ -1,0 +1,104 @@
+"""Header codec tests for functions/media.py (no Spark needed).
+
+The synthesizers emit byte-correct minimal files; the parser must recover
+exactly the planted parameters, walk JPEG marker sequences for real, and
+degrade (never raise) on truncated/corrupt payloads.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.functions.media import (
+    classify_media, decode_media_header, synth_gif, synth_jpeg, synth_png,
+)
+
+
+def test_png_roundtrip_and_crc():
+    p = synth_png(1021, 769, 16)
+    # real IHDR chunk with a correct CRC-32 (a strict PNG reader would check)
+    assert p[:8] == b"\x89PNG\r\n\x1a\n"
+    assert struct.unpack(">I", p[8:12])[0] == 13 and p[12:16] == b"IHDR"
+    assert struct.unpack(">I", p[29:33])[0] == zlib.crc32(p[12:29]) & 0xFFFFFFFF
+    r = decode_media_header(p)
+    assert r == {"media_kind": "image/png", "width": 1021, "height": 769,
+                 "bit_depth": 16}
+
+
+def test_gif_le_fields():
+    r = decode_media_header(synth_gif(65535, 1, 5))
+    assert r == {"media_kind": "image/gif", "width": 65535, "height": 1,
+                 "bit_depth": 5}
+
+
+def test_jpeg_marker_walk():
+    # SOF0 sits after APP0 and DQT — the parser must skip both by length
+    j = synth_jpeg(640, 480)
+    assert j[2:4] == b"\xff\xe0" and b"\xff\xc0" in j
+    r = decode_media_header(j)
+    assert r == {"media_kind": "image/jpeg", "width": 640, "height": 480,
+                 "bit_depth": 8}
+
+
+def test_jpeg_progressive_sof2_and_fill_bytes():
+    # hand-built: SOI, fill bytes, RST (standalone), COM segment, SOF2
+    sof2 = (b"\xff\xc2" + struct.pack(">H", 11) + b"\x0c"
+            + struct.pack(">HH", 77, 99) + b"\x01\x11\x00")
+    j = (b"\xff\xd8" + b"\xff\xff"                      # fill byte run
+         + b"\xff\x01"                                   # TEM (standalone)
+         + b"\xff\xfe" + struct.pack(">H", 5) + b"abc"   # COM segment
+         + sof2 + b"\xff\xd9")
+    r = decode_media_header(j)
+    assert (r["width"], r["height"], r["bit_depth"]) == (99, 77, 12)
+
+
+def test_jpeg_no_sof_before_sos_or_eoi():
+    assert decode_media_header(b"\xff\xd8\xff\xd9")["width"] == -1
+    sos = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+    assert decode_media_header(sos)["width"] == -1
+
+
+@pytest.mark.parametrize("payload,kind", [
+    (b"", "unknown"),
+    (b"hello world", "unknown"),
+    (b"GIF89a", "image/gif"),
+    (b"\xff\xd8", "image/jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+])
+def test_classifier(payload, kind):
+    assert classify_media(payload) == kind
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 65535), st.integers(1, 65535),
+       st.sampled_from([1, 2, 4, 8, 16]), st.integers(0, 2))
+def test_roundtrip_property(w, h, depth, kind):
+    if kind == 0:
+        pay, exp_depth = synth_png(w, h, depth), depth
+    elif kind == 1:
+        pay, exp_depth = synth_gif(w, h, min(depth, 8)), min(depth, 8)
+    else:
+        pay, exp_depth = synth_jpeg(w, h), 8
+    r = decode_media_header(pay)
+    assert (r["width"], r["height"], r["bit_depth"]) == (w, h, exp_depth)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 120), st.integers(1, 65535), st.integers(1, 65535),
+       st.integers(0, 2))
+def test_truncation_never_raises(cut, w, h, kind):
+    pay = [synth_png, synth_gif, lambda a, b: synth_jpeg(a, b)][kind](w, h)
+    r = decode_media_header(pay[:cut])
+    assert set(r) == {"media_kind", "width", "height", "bit_depth"}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=200))
+def test_garbage_never_raises(blob):
+    r = decode_media_header(blob)
+    assert isinstance(r["width"], int)

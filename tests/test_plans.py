@@ -112,3 +112,52 @@ def test_ngram_jaccard_filters_hot_shingles(spark):
     df = dedup_ngram_jaccard(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert f"<= {MAX_SHINGLE_DF}" in plan or f"{MAX_SHINGLE_DF})" in plan, plan
+
+
+def test_lsh_topk_no_cartesian_and_broadcast_probes(spark):
+    """The ANN retrieval path must join candidates through broadcast band
+    buckets — no CartesianProduct, no full-scan scoring of every vector
+    against every probe."""
+    from search_engine_spark.pipelines.similarity import sim_lsh_topk
+
+    df = sim_lsh_topk(spark, "/root/testdata/sf0.001")
+    plan = _explain(df, "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_kmeans_topk_no_cartesian(spark):
+    from search_engine_spark.pipelines.similarity import sim_ivf_kmeans_topk
+
+    df = sim_ivf_kmeans_topk(spark, "/root/testdata/sf0.001")
+    plan = _explain(df, "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lsh_and_ivf_recall_vs_bruteforce(spark):
+    """Recall@10 of the approximate paths against the exact baseline.
+    Thresholds are structural floors (banded-LSH with 16 planes / IVF with
+    nprobe=2 of 8 cells recalls most true neighbors on this data), and the
+    approximate cosines must be a subset of the exact ranking's values."""
+    from search_engine_spark.pipelines.similarity import (
+        sim_bruteforce_topk, sim_ivf_kmeans_topk, sim_lsh_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in sim_bruteforce_topk(spark, sf).collect()
+    }
+    # floors from the DuckDB sweep on this fixture (lsh 0.70, ivf 0.54) —
+    # the synthetic embeddings are near-random (top cosine ≈ 0.36), the
+    # hard case for ANN; margins absorb band-boundary flips
+    for name, fn, floor in (
+        ("lsh", sim_lsh_topk, 0.6),
+        ("ivf_kmeans", sim_ivf_kmeans_topk, 0.45),
+    ):
+        approx = {
+            (r["probe_id"], r["vec_id"]) for r in fn(spark, sf).collect()
+        }
+        recall = len(approx & exact) / len(exact)
+        assert recall >= floor, f"{name} recall@10 {recall:.2f} < {floor}"

@@ -189,3 +189,121 @@ def test_transformed_input_falls_back_to_hash_slices(
         str(tmp_path / "idx_full"), cfg, resume_batches=1,
     )
     assert metrics["n_docs"] < full["n_docs"]
+
+
+def _crash_after(monkeypatch, n_batches):
+    """Patch append_batch to die after n successful parse-batch commits."""
+    real_append = CatalogAdapter.append_batch
+    calls = []
+
+    def crashing_append(self, df, name, batch_id, **kw):
+        if len(calls) == n_batches:
+            raise _Boom("simulated kill")
+        calls.append(batch_id)
+        return real_append(self, df, name, batch_id, **kw)
+
+    return crashing_append, real_append
+
+
+def test_resume_processes_files_added_after_crash(
+    spark, tiny_corpus_path, tmp_path, monkeypatch
+):
+    """Files that land between the crash and the resume must be parsed:
+    completed file batches are kept (their recorded inputs unchanged) and
+    the remaining+new files are regrouped under fresh batch ids."""
+    from search_engine_spark.operators import index_build
+
+    multi = str(tmp_path / "pages_grow")
+    base = spark.read.parquet(tiny_corpus_path)
+    base.limit(800).repartition(4).write.parquet(multi)
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    index_path = str(tmp_path / "idx_grow")
+
+    crashing, real_append = _crash_after(monkeypatch, 2)
+    monkeypatch.setattr(CatalogAdapter, "append_batch", crashing)
+    with pytest.raises(_Boom):
+        index_build.build_index(
+            spark, spark.read.parquet(multi), index_path, cfg,
+            resume_batches=4,
+        )
+    monkeypatch.setattr(CatalogAdapter, "append_batch", real_append)
+    done_before = set(CatalogAdapter(index_path).completed_batches("parsed"))
+    assert len(done_before) == 2
+
+    # a new file lands before the resume
+    base.limit(100).coalesce(1).write.mode("append").parquet(multi)
+
+    index_build.build_index(
+        spark, spark.read.parquet(multi), index_path, cfg, resume_batches=4
+    )
+    cat = CatalogAdapter(index_path)
+    entries = cat._load()["tables"]["parsed"]["batches"]
+    # completed batches kept; new batches under fresh resume ids
+    kept = {e["batch_id"] for e in entries} & done_before
+    assert kept == done_before
+    fresh_ids = [e["batch_id"] for e in entries
+                 if e["batch_id"] not in done_before]
+    assert fresh_ids and all(b.startswith("resume") for b in fresh_ids)
+    # every current input file parsed exactly once
+    current = sorted(spark.read.parquet(multi).inputFiles())
+    recorded = sorted(f for e in entries for f in e["input_files"])
+    assert recorded == current
+
+    # index equals a fresh build over the grown corpus
+    fresh_path = str(tmp_path / "idx_grow_fresh")
+    index_build.build_index(
+        spark, spark.read.parquet(multi), fresh_path, cfg, resume_batches=1
+    )
+
+    def vocab(path):
+        return {
+            (r["term"], r["df"])
+            for r in CatalogAdapter(path).read_table(spark, "term_stats").collect()
+        }
+
+    assert vocab(index_path) == vocab(fresh_path)
+
+
+def test_resume_rebuilds_when_recorded_file_vanished(
+    spark, tiny_corpus_path, tmp_path, monkeypatch
+):
+    """A completed batch whose recorded input file no longer exists means
+    the staged parse covers docs outside the current corpus — resume must
+    drop the stale parse and rebuild, not silently keep it."""
+    import os
+
+    from search_engine_spark.operators import index_build
+
+    multi = str(tmp_path / "pages_shrink")
+    spark.read.parquet(tiny_corpus_path).repartition(4).write.parquet(multi)
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    index_path = str(tmp_path / "idx_shrink")
+
+    crashing, real_append = _crash_after(monkeypatch, 2)
+    monkeypatch.setattr(CatalogAdapter, "append_batch", crashing)
+    with pytest.raises(_Boom):
+        index_build.build_index(
+            spark, spark.read.parquet(multi), index_path, cfg,
+            resume_batches=4,
+        )
+    monkeypatch.setattr(CatalogAdapter, "append_batch", real_append)
+
+    # delete one file that a COMPLETED batch recorded
+    entries = CatalogAdapter(index_path)._load()["tables"]["parsed"]["batches"]
+    victim = entries[0]["input_files"][0]
+    os.remove(victim[7:] if victim.startswith("file://") else victim)
+
+    index_build.build_index(
+        spark, spark.read.parquet(multi), index_path, cfg, resume_batches=4
+    )
+
+    # the index reflects ONLY the surviving files
+    fresh_path = str(tmp_path / "idx_shrink_fresh")
+    index_build.build_index(
+        spark, spark.read.parquet(multi), fresh_path, cfg, resume_batches=1
+    )
+    n_a = CatalogAdapter(index_path).read_table(spark, "doc_stats").count()
+    n_b = CatalogAdapter(fresh_path).read_table(spark, "doc_stats").count()
+    assert n_a == n_b

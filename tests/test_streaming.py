@@ -205,3 +205,145 @@ def test_stream_event_counts_to_table(spark, dirs, tmp_path):
                               "n_events", "sum_value").collect()))
     assert got2 == batch_agg([events_dir])
     assert got2 != got1
+
+
+def test_compaction_crash_before_derive_replays_safely(spark, dirs, tmp_path,
+                                                       monkeypatch):
+    """Drop-first crash-safety: a crash AFTER the parsed append but BEFORE
+    re-derive leaves no stale derived table (they were dropped first), and
+    the replay re-derives the complete index."""
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.operators import index_build
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.catalog import CatalogAdapter
+    from search_engine_spark.sources.fixtures import generate_web_pages
+    from search_engine_spark.streaming import incremental
+    from search_engine_spark.streaming.incremental import (
+        compact_staging, incremental_index_update,
+    )
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    full = generate_web_pages(260)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(full.slice(0, 180), base_path)
+    pq.write_table(full.slice(180, 80),
+                   os.path.join(dirs["incoming"], "more.parquet"))
+
+    idx = str(tmp_path / "crash_idx")
+    build_index(spark, spark.read.parquet(base_path), idx, cfg,
+                resume_batches=1)
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
+    )
+
+    real_derive = index_build.derive_index_tables
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before derive")
+
+    monkeypatch.setattr(incremental, "derive_index_tables", boom, raising=False)
+    monkeypatch.setattr(index_build, "derive_index_tables", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_staging(spark, idx, dirs["staging"], cfg)
+
+    cat = CatalogAdapter(idx)
+    # drop-first ordering: nothing stale survived the crash
+    for t in ("postings", "term_stats", "corpus_stats", "doc_stats"):
+        assert not cat.has_table(t), f"stale {t} survived the crash"
+    # the parsed append DID commit — replay must not duplicate it
+    assert "compact-1" in cat.completed_batches("parsed")
+
+    monkeypatch.setattr(index_build, "derive_index_tables", real_derive)
+    out = compact_staging(spark, idx, dirs["staging"], cfg)
+    assert out["batch_id"] is None  # replay appended nothing new
+
+    # result equals a from-scratch build over the union corpus
+    ref_idx = str(tmp_path / "crash_ref")
+    all_path = str(tmp_path / "all.parquet")
+    pq.write_table(full, all_path)
+    build_index(spark, spark.read.parquet(all_path), ref_idx, cfg,
+                resume_batches=1)
+    ts_a = sorted(map(tuple, spark.read.parquet(f"{idx}/term_stats").collect()))
+    ts_b = sorted(map(tuple,
+                      spark.read.parquet(f"{ref_idx}/term_stats").collect()))
+    assert ts_a == ts_b
+
+
+def test_compaction_adopts_stamped_config(spark, dirs, tmp_path):
+    """Compacting WITHOUT the original config must adopt the build-time
+    stamps (stemming mode preserved); a contradicting explicit config
+    raises instead of silently rebuilding different semantics."""
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.catalog import CatalogAdapter
+    from search_engine_spark.sources.fixtures import generate_web_pages
+    from search_engine_spark.streaming.incremental import (
+        compact_staging, incremental_index_update,
+    )
+
+    stem_cfg = EngineConfig(num_buckets=4, shuffle_partitions=8,
+                            stemming=True)
+    full = generate_web_pages(200)
+    base_path = str(tmp_path / "stem_base.parquet")
+    pq.write_table(full.slice(0, 150), base_path)
+    pq.write_table(full.slice(150, 50),
+                   os.path.join(dirs["incoming"], "more.parquet"))
+
+    idx = str(tmp_path / "stem_idx")
+    build_index(spark, spark.read.parquet(base_path), idx, stem_cfg,
+                resume_batches=1)
+    assert CatalogAdapter(idx).properties()["stemming"] is True
+
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"],
+        stem_cfg,
+    )
+
+    # contradicting config → refuse
+    with pytest.raises(ValueError, match="stemming"):
+        compact_staging(spark, idx, dirs["staging"],
+                        EngineConfig(num_buckets=4, stemming=False))
+
+    # no config → adopt the stamps; the stamp must survive compaction
+    out = compact_staging(spark, idx, dirs["staging"], config=None)
+    assert out["batch_id"] == "compact-1"
+    props = CatalogAdapter(idx).properties()
+    assert props["stemming"] is True
+    assert props["num_buckets"] == 4
+
+
+def test_compaction_dedupes_within_staging(spark, dirs, tmp_path):
+    """The same doc staged twice (foreachBatch retry / double-crawl) must
+    appear once in the compacted parsed table."""
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.parse import parse_corpus
+    from search_engine_spark.sources.fixtures import generate_web_pages
+    from search_engine_spark.streaming.incremental import compact_staging
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    full = generate_web_pages(220)
+    base_path = str(tmp_path / "dup_base.parquet")
+    pq.write_table(full.slice(0, 160), base_path)
+    idx = str(tmp_path / "dup_idx")
+    build_index(spark, spark.read.parquet(base_path), idx, cfg,
+                resume_batches=1)
+
+    # stage the same 60-doc slice TWICE (simulated retry re-append)
+    more = str(tmp_path / "more.parquet")
+    pq.write_table(full.slice(160, 60), more)
+    staged = parse_corpus(spark.read.parquet(more), cfg)
+    os.makedirs(dirs["staging"], exist_ok=True)
+    staged.write.mode("append").parquet(dirs["staging"])
+    staged.write.mode("append").parquet(dirs["staging"])
+    assert spark.read.parquet(dirs["staging"]).count() == 120
+
+    base_docs = spark.read.parquet(f"{idx}/parsed").count()
+    new_docs = staged.select("doc_id").distinct().count()
+    compact_staging(spark, idx, dirs["staging"], cfg)
+    parsed = spark.read.parquet(f"{idx}/parsed")
+    assert parsed.count() == parsed.select("doc_id").distinct().count()
+    assert parsed.count() == base_docs + new_docs
