@@ -60,21 +60,35 @@ def _explode_terms(parsed: DataFrame) -> DataFrame:
 
 
 def sorted_posting_rows(parsed: DataFrame, config: EngineConfig) -> DataFrame:
-    """THE wide shuffle: range-partition + sort the exploded posting rows.
+    """THE wide shuffle — shuffle compact DOC rows, explode after.
 
-    ``repartitionByRange(bucket, term)`` + ``sortWithinPartitions(bucket,
-    term, doc_id)`` makes every (bucket, term) group contiguous inside one
-    partition — exactly what Spark's sort-merge shuffle machinery does
-    natively, replacing the reference's manual spill + external k-way
-    merge (indexer.py:110-253). Grouping on (bucket, term) rather than
-    term alone is the hot-term salting (bucket = doc-hash salt): a
-    stopword-adjacent high-DF term's rows spread over all buckets instead
-    of one reducer. No collect_list aggregation buffers, no wide-row
-    materialization — the downstream encoder streams over the sorted rows.
+    Every (bucket, term) posting group lives wholly inside one bucket, so
+    partitioning by ``bucket`` alone already co-locates whole groups; the
+    explode to posting rows and the ``sortWithinPartitions(bucket, term,
+    doc_id)`` external sort then run shuffle-free on the receiving side.
+    Shuffling the slim parsed rows (bucket, doc_id, doc_length, terms
+    array) instead of pre-exploded posting rows moves ~4× fewer bytes —
+    no per-posting repetition of doc_id/doc_length/bucket and no
+    per-posting row overhead — which matters because the posting shuffle
+    is the build's bandwidth-bound stage (measured 2→8-core scaling 0.57
+    for the exploded-row shuffle vs 0.90 for the CPU-bound parse).
+
+    Spark's sort-merge machinery replaces the reference's manual spill +
+    external k-way merge (indexer.py:110-253). Grouping on (bucket, term)
+    rather than term alone is the hot-term salting (bucket = doc-hash
+    salt): a stopword-adjacent high-DF term's rows spread across all
+    buckets instead of one reducer. Range-partitioning on bucket keeps
+    each partition a set of WHOLE contiguous buckets (uniform doc_id%N
+    buckets → near-exact splits at any buckets:partitions ratio, and the
+    partitioned write emits one file run per bucket). No collect_list
+    buffers, no wide-row materialization — the downstream encoder streams
+    over the sorted rows.
     """
+    slim = parsed.select("bucket", "doc_id", "doc_length", "terms")
     return (
-        _explode_terms(parsed)
-        .repartitionByRange(config.shuffle_partitions, "bucket", "term")
+        _explode_terms(
+            slim.repartitionByRange(config.shuffle_partitions, "bucket")
+        )
         .sortWithinPartitions("bucket", "term", "doc_id")
     )
 
@@ -263,7 +277,9 @@ def _plan_parse_batches(
             )
             == i
         )
-        out.append((str(i), subset, {"strategy": "hash_slice"}))
+        out.append((str(i), subset,
+                    {"strategy": "hash_slice", "n_slices": resume_batches,
+                     "slice_buckets": cfg.num_buckets}))
     return out
 
 
@@ -341,6 +357,15 @@ def _reconcile_resume_plan(
         return _file_groups(spark, schema, remaining, resume_batches,
                             f"resume{len(entries)}-")
     if file_plan != file_entries:
+        cat.drop_table("parsed")
+        return plan
+    # hash-slice on both sides: slices are content-addressed (url hash) and
+    # stable across runs ONLY under identical slicing parameters — a changed
+    # resume_batches/num_buckets remaps batch ids onto different doc sets
+    params = {(e.get("n_slices"), e.get("slice_buckets")) for e in entries}
+    current_params = {(lin.get("n_slices"), lin.get("slice_buckets"))
+                      for _bid, _df, lin in plan}
+    if params != current_params:
         cat.drop_table("parsed")
     return plan
 

@@ -165,8 +165,9 @@ WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) >= {JACCARD_THRESHOL
 
 # --- MinHash + LSH -----------------------------------------------------------
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+def _minhash_signatures(spark: SparkSession, sf_dir: str,
+                        shingles: DataFrame | None = None) -> DataFrame:
+    sh = shingles if shingles is not None else _shingles(spark, sf_dir)
     x31 = F.pmod(portable_hash60(F.col("shingle")), F.lit(P31))
     aggs = [
         F.min(F.pmod(F.lit(MINHASH_A[j]) * x31 + F.lit(MINHASH_B[j]), F.lit(P31)))
@@ -193,9 +194,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_MINHASH_SIGNATURES = _sql_minhash_signatures()
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs (band collision) with estimated Jaccard."""
-    sig = _minhash_signatures(spark, sf_dir).cache()
+    sig = _minhash_signatures(spark, sf_dir, shingles).cache()
     bands = None
     for band in range(N_BANDS):
         bh = (
@@ -268,10 +270,12 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard over each doc's rare-shingle set (hot-shingle ceiling, same
     semantics as dedup_ngram_jaccard) confirms them. Only candidate pairs
     ever touch the verify join, so the expensive exact comparison runs on
-    the LSH survivors instead of the corpus square.
+    the LSH survivors instead of the corpus square. The shingle relation
+    is computed once and cached — signatures and verify sets share it (at
+    100 TB it would be a persisted intermediate table).
     """
-    cand = dedup_minhash_lsh(spark, sf_dir).cache()
-    raw = _shingles(spark, sf_dir)
+    raw = _shingles(spark, sf_dir).cache()
+    cand = dedup_minhash_lsh(spark, sf_dir, shingles=raw).cache()
     rare = (
         raw.groupBy("shingle")
         .agg(F.count("*").alias("shingle_df"))

@@ -143,7 +143,9 @@ GROUP BY bucket
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe only the probe vector's own coarse partition
     (label), exact cosine within it. The 100 TB shape: per-partition search
-    instead of a full scan."""
+    instead of a full scan. The given-``label`` cells stand in for a coarse
+    quantizer; ``sim_ivf_kmeans_topk`` below is the full version that
+    TRAINS its own centroids."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )

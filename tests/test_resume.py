@@ -307,3 +307,38 @@ def test_resume_rebuilds_when_recorded_file_vanished(
     n_a = CatalogAdapter(index_path).read_table(spark, "doc_stats").count()
     n_b = CatalogAdapter(fresh_path).read_table(spark, "doc_stats").count()
     assert n_a == n_b
+
+
+def test_hash_slice_resume_rejects_changed_slice_count(
+    spark, tiny_corpus_path, tmp_path, monkeypatch
+):
+    """Resuming a hash-sliced build with a DIFFERENT resume_batches value
+    remaps batch ids onto different doc sets — the engine must detect the
+    parameter change and rebuild instead of skipping mismatched slices."""
+    from search_engine_spark.operators import index_build
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    index_path = str(tmp_path / "idx_resl")
+
+    crashing, real_append = _crash_after(monkeypatch, 2)
+    monkeypatch.setattr(CatalogAdapter, "append_batch", crashing)
+    with pytest.raises(_Boom):
+        index_build.build_index(
+            spark, spark.read.parquet(tiny_corpus_path), index_path, cfg,
+            resume_batches=4,
+        )
+    monkeypatch.setattr(CatalogAdapter, "append_batch", real_append)
+
+    # resume with resume_batches=2 (different slicing)
+    index_build.build_index(
+        spark, spark.read.parquet(tiny_corpus_path), index_path, cfg,
+        resume_batches=2,
+    )
+    fresh = str(tmp_path / "idx_resl_fresh")
+    index_build.build_index(
+        spark, spark.read.parquet(tiny_corpus_path), fresh, cfg,
+        resume_batches=1,
+    )
+    n_a = CatalogAdapter(index_path).read_table(spark, "doc_stats").count()
+    n_b = CatalogAdapter(fresh).read_table(spark, "doc_stats").count()
+    assert n_a == n_b  # no doc parsed 0 or 2 times
