@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from search_engine_spark.pipelines import bm25_sql, dedup, multimodal  # noqa: E402
+from search_engine_spark.pipelines import bm25_sql, curation, dedup, multimodal  # noqa: E402
 from search_engine_spark.pipelines import relational, similarity, textstats  # noqa: E402
 from search_engine_spark.streaming import incremental  # noqa: E402
 
@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_count": textstats.q_bpe_count,
         "text_fingerprint": textstats.q_fingerprint,
         "text_rep_ngram": textstats.q_rep_ngram,
+        # --- corpus curation (quality filter / PII / mixture) ----------------
+        "text_gopher_filter": curation.text_gopher_filter,
+        "text_pii_scrub": curation.text_pii_scrub,
+        "text_source_mix": curation.text_source_mix,
         # --- multimodal decode ----------------------------------------------
         "mm_extract_features": multimodal.mm_extract_features,
         "mm_image_dims": multimodal.mm_image_dims,
@@ -107,6 +111,9 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_count": textstats.SQL_BPE_COUNT,
         "text_fingerprint": textstats.SQL_FINGERPRINT,
         "text_rep_ngram": textstats.SQL_REP_NGRAM,
+        "text_gopher_filter": curation.SQL_TEXT_GOPHER_FILTER,
+        "text_pii_scrub": curation.SQL_TEXT_PII_SCRUB,
+        "text_source_mix": curation.SQL_TEXT_SOURCE_MIX,
         "mm_extract_features": multimodal.SQL_MM_EXTRACT_FEATURES,
         "mm_image_dims": multimodal.SQL_MM_IMAGE_DIMS,
         "rel_pricing_summary": relational.SQL_REL_PRICING_SUMMARY,

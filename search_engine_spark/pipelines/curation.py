@@ -1,0 +1,226 @@
+"""Web-corpus curation operators: quality filtering, PII scrubbing, mixture.
+
+The last mile of a 100 TB training-data pipeline, downstream of dedup
+(pipelines/dedup.py) and the per-doc signals (pipelines/textstats.py):
+
+- ``text_gopher_filter`` — a keep/drop verdict per document composed from
+  Gopher-style quality rules (Rae et al. 2021, appendix A1.1): word-count
+  bounds, mean-word-length bounds, required-stopword presence, duplicate
+  2-gram repetition, symbol-to-word ratio. Every rule is a pure column
+  expression (whole-stage codegen, no shuffle at all — the filter streams
+  map-side over the scan), so at 100 TB this is bounded only by scan
+  bandwidth.
+- ``text_pii_scrub`` — redact emails, IPv4 addresses and phone-like
+  numbers (the C4/CCNet-style preprocessing step), returning the scrubbed
+  text plus per-kind match counts. Sequential regex passes, all JVM-side;
+  no Python in the loop.
+- ``text_source_mix`` — the per-(source, lang) mixture dashboard: doc
+  counts, token totals and each cell's share of corpus tokens. One hash
+  aggregation plus a broadcast single-row join for the corpus total (the
+  same no-driver-roundtrip pattern as pipelines/bm25_sql.py) — no window
+  over an unpartitioned frame, which would single-task at scale.
+
+Each operator has a DuckDB oracle with byte-identical column names and
+6-dp-rounded floats (driver-gate contract). The synthetic driver corpus
+contains no PII, so ``text_pii_scrub``'s gate entry is passthrough there;
+its non-vacuous cross-engine evidence lives in tests/test_curation.py over
+a fixture corpus that does contain emails/IPs/phones (same pattern as
+tests/test_capitals_entities_oracle.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from search_engine_spark.pipelines.common import (
+    SQL_TOKENS, load, tokens_col,
+)
+
+# --- Gopher-style quality rules ---------------------------------------------
+# Count-based analogs of Rae et al. 2021 A1.1. MIN_WORDS matches the paper;
+# REQUIRED_STOP_MIN is 1 (paper: 2) because the gate fixture's vocabulary
+# carries at most one word of the required set — the constant keeps the rule
+# observable there; production callers pass the canonical 2.
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+#: Gopher's required-stopword list (A1.1): ≥ REQUIRED_STOP_MIN must appear.
+REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+REQUIRED_STOP_MIN = 1
+MAX_DUP_2GRAM_FRAC = 0.1
+MAX_SYMBOL_RATIO = 0.1
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens_col().alias("toks")
+    )
+    n = F.size("toks")
+    mwl = F.round(
+        F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
+        / F.greatest(n, F.lit(1)),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"),
+            F.array(*[F.lit(w) for w in REQUIRED_STOPWORDS]),
+        )
+    )
+    g2 = F.expr(
+        "transform(slice(toks, 1, greatest(size(toks)-1, 0)),"
+        " (x, i) -> concat(x, ' ', toks[i+1]))"
+    )
+    dup2 = F.when(
+        F.size(g2) > 0,
+        F.round(1 - F.size(F.array_distinct(g2)) / F.size(g2), 6),
+    ).otherwise(F.lit(0.0))
+    symbols = F.regexp_count("text", F.lit(r"#|\.\.\.")).cast("long")
+    sym_ratio = F.round(symbols / F.greatest(n, F.lit(1)), 6)
+    scored = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_hits.cast("long").alias("n_req_stopwords"),
+        dup2.alias("dup_2gram_frac"),
+        sym_ratio.alias("symbol_ratio"),
+    )
+    wc_ok = scored.n_words.between(MIN_WORDS, MAX_WORDS)
+    wl_ok = scored.mean_word_len.between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+    stop_ok = scored.n_req_stopwords >= REQUIRED_STOP_MIN
+    rep_ok = scored.dup_2gram_frac <= MAX_DUP_2GRAM_FRAC
+    sym_ok = scored.symbol_ratio <= MAX_SYMBOL_RATIO
+    return scored.select(
+        "*",
+        wc_ok.alias("wc_ok"),
+        wl_ok.alias("wl_ok"),
+        stop_ok.alias("stop_ok"),
+        rep_ok.alias("rep_ok"),
+        sym_ok.alias("sym_ok"),
+        (wc_ok & wl_ok & stop_ok & rep_ok & sym_ok).alias("keep"),
+    )
+
+
+_SQL_REQ_STOPS = ", ".join(f"'{w}'" for w in REQUIRED_STOPWORDS)
+
+SQL_TEXT_GOPHER_FILTER = f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKENS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         round(coalesce(list_aggregate(list_transform(toks, w -> length(w)),
+                                       'sum'), 0)::DOUBLE
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         len(list_intersect(list_distinct(toks),
+                            [{_SQL_REQ_STOPS}]))::BIGINT AS n_req_stopwords,
+         CASE WHEN len(toks) > 1 THEN
+           round(1 - len(list_distinct(list_transform(
+                     range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]
+                 )))::DOUBLE / (len(toks) - 1), 6)
+         ELSE 0.0 END AS dup_2gram_frac,
+         round(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+               / greatest(len(toks), 1), 6) AS symbol_ratio
+  FROM t)
+SELECT *,
+       n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS} AS wc_ok,
+       mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+         AS wl_ok,
+       n_req_stopwords >= {REQUIRED_STOP_MIN} AS stop_ok,
+       dup_2gram_frac <= {MAX_DUP_2GRAM_FRAC} AS rep_ok,
+       symbol_ratio <= {MAX_SYMBOL_RATIO} AS sym_ok,
+       (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+         AND (mean_word_len BETWEEN {MIN_MEAN_WORD_LEN}
+              AND {MAX_MEAN_WORD_LEN})
+         AND n_req_stopwords >= {REQUIRED_STOP_MIN}
+         AND dup_2gram_frac <= {MAX_DUP_2GRAM_FRAC}
+         AND symbol_ratio <= {MAX_SYMBOL_RATIO} AS keep
+FROM s
+"""
+
+
+# --- PII scrubbing -----------------------------------------------------------
+# Sequential passes; each count is taken on the text as it stands BEFORE
+# that pass (emails first so their digits can't double-count as phones).
+# Patterns restricted to syntax Java regex and RE2 interpret identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d\- ()]{6,}\d"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t0 = F.col("text")
+    n_emails = F.regexp_count(t0, F.lit(EMAIL_RE))
+    t1 = F.regexp_replace(t0, F.lit(EMAIL_RE), F.lit("<EMAIL>"))
+    n_ips = F.regexp_count(t1, F.lit(IPV4_RE))
+    t2 = F.regexp_replace(t1, F.lit(IPV4_RE), F.lit("<IP>"))
+    n_phones = F.regexp_count(t2, F.lit(PHONE_RE))
+    t3 = F.regexp_replace(t2, F.lit(PHONE_RE), F.lit("<PHONE>"))
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        (n_emails + n_ips + n_phones).cast("long").alias("pii_total"),
+        t3.alias("scrubbed"),
+    )
+
+
+SQL_TEXT_PII_SCRUB = f"""
+WITH p1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+p2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{IPV4_RE}'))::BIGINT AS n_ips,
+         regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+  FROM p1)
+SELECT doc_id, n_emails, n_ips,
+       len(regexp_extract_all(t2, '{PHONE_RE}'))::BIGINT AS n_phones,
+       (n_emails + n_ips
+        + len(regexp_extract_all(t2, '{PHONE_RE}')))::BIGINT AS pii_total,
+       regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM p2
+"""
+
+
+# --- source mixture dashboard -------------------------------------------------
+
+def text_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", F.size(tokens_col()).alias("n")
+    )
+    cells = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+    # corpus total as a broadcast single-row cross join: the share column
+    # stays one distributed plan with no driver collect and no global window
+    total = docs.agg(F.sum("n").cast("double").alias("_corpus_tokens"))
+    return (
+        cells.crossJoin(F.broadcast(total))
+        .withColumn(
+            "token_share",
+            F.round(F.col("total_tokens") / F.col("_corpus_tokens"), 6),
+        )
+        .drop("_corpus_tokens")
+    )
+
+
+SQL_TEXT_SOURCE_MIX = f"""
+WITH t AS (
+  SELECT source, lang, n_chars, len({SQL_TOKENS}) AS n FROM documents
+)
+SELECT source, lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS total_tokens,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(sum(n)::DOUBLE / (SELECT sum(n) FROM t), 6) AS token_share
+FROM t
+GROUP BY source, lang
+"""

@@ -187,3 +187,27 @@ def test_posting_shuffle_moves_doc_rows_not_postings(spark, tiny_corpus_path):
         "explode happens before the shuffle — posting rows are being "
         "shuffled:\n" + tree
     )
+
+
+def test_curation_filters_are_shuffle_free(spark):
+    """Gopher filter and PII scrub must stay map-side over the scan (no
+    Exchange): at 100 TB these run at scan bandwidth or not at all."""
+    from search_engine_spark.pipelines.curation import (
+        text_gopher_filter, text_pii_scrub,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for df in (text_gopher_filter(spark, sf), text_pii_scrub(spark, sf)):
+        plan = _explain(df, "simple")
+        assert "Exchange" not in plan, plan
+
+
+def test_source_mix_total_is_broadcast(spark):
+    """The corpus-token total must ride a broadcast join, not a window
+    over an unpartitioned frame (single-task at scale) or a SortMergeJoin."""
+    from search_engine_spark.pipelines.curation import text_source_mix
+
+    plan = _explain(text_source_mix(spark, "/root/testdata/sf0.001"), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
