@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_filter": curation.text_gopher_filter,
         "text_pii_scrub": curation.text_pii_scrub,
         "text_source_mix": curation.text_source_mix,
+        "corpus_curate": curation.corpus_curate,
         # --- multimodal decode ----------------------------------------------
         "mm_extract_features": multimodal.mm_extract_features,
         "mm_image_dims": multimodal.mm_image_dims,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher_filter": curation.SQL_TEXT_GOPHER_FILTER,
         "text_pii_scrub": curation.SQL_TEXT_PII_SCRUB,
         "text_source_mix": curation.SQL_TEXT_SOURCE_MIX,
+        "corpus_curate": curation.sql_corpus_curate(),
         "mm_extract_features": multimodal.SQL_MM_EXTRACT_FEATURES,
         "mm_image_dims": multimodal.SQL_MM_IMAGE_DIMS,
         "rel_pricing_summary": relational.SQL_REL_PRICING_SUMMARY,

@@ -224,3 +224,71 @@ SELECT source, lang,
 FROM t
 GROUP BY source, lang
 """
+
+
+# --- the full curation recipe -------------------------------------------------
+
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end 100 TB corpus curation as one composed pipeline.
+
+    quality filter → exact dedup (min-doc_id winner per text hash) →
+    LSH-verified near-dedup (drop the higher doc_id of each confirmed
+    pair) → PII scrub of the survivors. Exactly the production recipe a
+    training-data pipeline runs before tokenization; every stage is the
+    already-gated operator, chained. All joins are equi-joins on doc_id
+    (shuffle-hash/AQE at scale) except the dedup internals, which keep
+    their bounded banded/rare-shingle shapes.
+    """
+    from search_engine_spark.pipelines.dedup import (
+        dedup_exact, dedup_lsh_verified,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    quality = (
+        text_gopher_filter(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_words")
+    )
+    exact_winners = dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    near_losers = (
+        dedup_lsh_verified(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    scrubbed = text_pii_scrub(spark, sf_dir).select("doc_id", "scrubbed")
+    return (
+        docs.join(quality, "doc_id")
+        .join(exact_winners, "doc_id")
+        .join(near_losers, "doc_id", "left_anti")
+        .join(scrubbed, "doc_id")
+        .select("doc_id", "lang", "source", "n_words", "scrubbed")
+    )
+
+
+def sql_corpus_curate() -> str:
+    from search_engine_spark.pipelines.dedup import (
+        SQL_DEDUP_EXACT, SQL_DEDUP_LSH_VERIFIED,
+    )
+
+    return f"""
+WITH quality AS (
+  SELECT doc_id, n_words FROM ({SQL_TEXT_GOPHER_FILTER}) WHERE keep
+),
+exact_winners AS (
+  SELECT keep_doc_id AS doc_id FROM ({SQL_DEDUP_EXACT})
+),
+near_losers AS (
+  SELECT DISTINCT doc_b AS doc_id FROM ({SQL_DEDUP_LSH_VERIFIED})
+),
+scrub AS (
+  SELECT doc_id, scrubbed FROM ({SQL_TEXT_PII_SCRUB})
+)
+SELECT d.doc_id, d.lang, d.source, quality.n_words, scrub.scrubbed
+FROM documents d
+JOIN quality USING (doc_id)
+JOIN exact_winners USING (doc_id)
+JOIN scrub USING (doc_id)
+WHERE d.doc_id NOT IN (SELECT doc_id FROM near_losers)
+"""

@@ -37,6 +37,7 @@ DOCS = [
      "src1", 0),
     (7, GOOD + " ### hash spam ### ... and more ... #tags #everywhere "
         "### ... ### ...", "en", "src0", 0),
+    (8, GOOD, "en", "src1", 0),  # exact duplicate of doc 1
 ]
 DOCS = [(i, t, lang, src, len(t)) for (i, t, lang, src, _n) in DOCS]
 
@@ -100,6 +101,27 @@ def test_gopher_filter_each_rule(spark, fixture_dir):
     assert by_doc[7]["sym_ok"] is False and by_doc[7]["keep"] is False
     keeps = {d["keep"] for d in by_doc.values()}
     assert keeps == {True, False}, "filter is vacuous on this fixture"
+
+
+def test_corpus_curate_composition(spark, fixture_dir):
+    """The composed recipe drops each loser class: quality failures
+    (docs 2/3/7), the exact duplicate (doc 8 loses to doc 1), and
+    LSH-verified near-duplicates of doc 1 (docs 4/5/6 share the GOOD
+    prefix, Jaccard >= 0.5, higher doc_id loses) — and scrubs survivors."""
+    from search_engine_spark.pipelines.curation import (
+        corpus_curate, sql_corpus_curate,
+    )
+
+    by_doc = _compare(
+        corpus_curate(spark, fixture_dir), _duck(fixture_dir),
+        sql_corpus_curate(),
+    )
+    kept = set(by_doc)
+    assert 1 in kept
+    assert not {2, 3, 7} & kept, "quality losers survived"
+    assert 8 not in kept, "exact duplicate survived"
+    assert not {4, 5, 6} & kept, "near-duplicates survived"
+    assert by_doc[1]["scrubbed"] == GOOD
 
 
 def test_source_mix_shares(spark, fixture_dir):
