@@ -213,6 +213,8 @@ def main() -> None:
         "sim_lsh_topk",
         "mm_image_dims",
         "text_fingerprint",
+        "text_gopher_filter",
+        "corpus_curate",
         "rel_pricing_summary",
         "rel_sessionize",
     ]:
@@ -225,7 +227,10 @@ def main() -> None:
                 spark.catalog.clearCache(),
                 q[n](spark, SF_DIR).collect(),
             )[1],
-            repeats=2,
+            # best-of-3: this box's contention bursts routinely stretch a
+            # quiet-window 1.4 s query past 2 s; two samples still leave
+            # ~1-in-10 rounds with both hit (false regression flags)
+            repeats=3,
         )
 
     # regression guard vs previous round (only meaningful at the standard

@@ -33,6 +33,7 @@ Tables written under ``index_path`` (parquet + manifest, Iceberg-shaped):
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 
@@ -42,6 +43,71 @@ from pyspark.sql import DataFrame, SparkSession
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.operators.parse import parse_corpus
 from search_engine_spark.sources.catalog import CatalogAdapter
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of a 32-bit int — Spark's hash() for IntegerType.
+
+    Pure-Python replica of the published MurmurHash3 finalization for a
+    single 4-byte block (the path Spark's ``Murmur3_x86_32.hashInt`` takes
+    with its default seed 42). Pinned against ``F.hash`` in
+    tests/test_plans.py so a Spark hash change can't silently desync.
+    """
+    m = 0xFFFFFFFF
+
+    def rotl(v: int, n: int) -> int:
+        return ((v << n) | (v >> (32 - n))) & m
+
+    k1 = rotl((x & m) * 0xCC9E2D51 & m, 15) * 0x1B873593 & m
+    h1 = (rotl((seed & m) ^ k1, 13) * 5 + 0xE6546B64) & m
+    h1 ^= 4  # total byte length
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & m
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+@functools.lru_cache(maxsize=None)
+def _bucket_partition_keys(num_buckets: int, partitions: int) -> tuple[int, ...]:
+    """Per-bucket int keys that hash-partition each bucket to ONE chosen
+    partition: ``pmod(murmur3(key[b]), partitions) == b * partitions //
+    num_buckets``.
+
+    ``repartitionByRange`` on the bucket column picks boundaries by
+    SAMPLING; with num_buckets ≈ partitions a one-off boundary puts two
+    whole buckets in one task and zero in another (measured max/mean skew
+    1.99 at 32/32 — the stage wall doubles). Deterministic keys make the
+    exchange exact at any buckets:partitions ratio, keep buckets in
+    contiguous blocks (``b*P//B`` is monotonic, so the partitioned write
+    still emits one file run per bucket), and drop the range-sampling
+    pass over the parsed relation entirely.
+    """
+    targets = {b * partitions // num_buckets for b in range(num_buckets)}
+    found: dict[int, int] = {}
+    k = 0
+    while len(found) < len(targets):
+        pid = _murmur3_int32(k) % partitions
+        if pid in targets and pid not in found:
+            found[pid] = k
+        k += 1
+    return tuple(
+        found[b * partitions // num_buckets] for b in range(num_buckets)
+    )
+
+
+def bucket_exchange(df: DataFrame, config: EngineConfig) -> DataFrame:
+    """Exchange ``df`` so each ``bucket`` lands wholly in one partition,
+    evenly and deterministically (see _bucket_partition_keys)."""
+    keys = _bucket_partition_keys(
+        config.num_buckets, config.shuffle_partitions
+    )
+    keycol = F.element_at(
+        F.array(*[F.lit(k) for k in keys]),
+        F.col("bucket").cast("int") + 1,
+    )
+    return df.repartition(config.shuffle_partitions, keycol)
 
 
 def _explode_terms(parsed: DataFrame) -> DataFrame:
@@ -77,18 +143,16 @@ def sorted_posting_rows(parsed: DataFrame, config: EngineConfig) -> DataFrame:
     external k-way merge (indexer.py:110-253). Grouping on (bucket, term)
     rather than term alone is the hot-term salting (bucket = doc-hash
     salt): a stopword-adjacent high-DF term's rows spread across all
-    buckets instead of one reducer. Range-partitioning on bucket keeps
-    each partition a set of WHOLE contiguous buckets (uniform doc_id%N
-    buckets → near-exact splits at any buckets:partitions ratio, and the
-    partitioned write emits one file run per bucket). No collect_list
-    buffers, no wide-row materialization — the downstream encoder streams
-    over the sorted rows.
+    buckets instead of one reducer. The exchange maps each bucket to one
+    partition with deterministic hash keys (bucket_exchange) — exact even
+    splits at any buckets:partitions ratio, whole contiguous buckets per
+    partition (one file run per bucket in the partitioned write), and no
+    range-sampling pass. No collect_list buffers, no wide-row
+    materialization — the downstream encoder streams over the sorted rows.
     """
     slim = parsed.select("bucket", "doc_id", "doc_length", "terms")
     return (
-        _explode_terms(
-            slim.repartitionByRange(config.shuffle_partitions, "bucket")
-        )
+        _explode_terms(bucket_exchange(slim, config))
         .sortWithinPartitions("bucket", "term", "doc_id")
     )
 
@@ -483,7 +547,7 @@ def derive_index_tables(
         # without this every input split writes a file into every bucket
         # directory (splits × buckets tiny files)
         cat.write_table(
-            doc_stats.repartition(cfg.shuffle_partitions, "bucket"),
+            bucket_exchange(doc_stats, cfg),
             "doc_stats", partition_by=["bucket"],
         )
     # Topical doc-stats shard (reference doc_posting_covid analog,
