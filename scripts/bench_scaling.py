@@ -209,7 +209,7 @@ def update_baseline_md(summary: dict) -> None:
         clean_part = (
             f"CLEAN-WINDOW median {cm:.2f} over "
             f"{len(eff.get('efficiency_clean_rounds', []))} gated rounds "
-            f"(loadavg+memcpy probe pre & post), "
+            f"(busy-cores+memcpy probe pre & post), "
             if cm is not None else ""
         )
         rows.append(

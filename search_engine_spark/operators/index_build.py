@@ -99,7 +99,22 @@ def _bucket_partition_keys(num_buckets: int, partitions: int) -> tuple[int, ...]
 
 def bucket_exchange(df: DataFrame, config: EngineConfig) -> DataFrame:
     """Exchange ``df`` so each ``bucket`` lands wholly in one partition,
-    evenly and deterministically (see _bucket_partition_keys)."""
+    evenly and deterministically (see _bucket_partition_keys).
+
+    Parallelism note: whole-bucket placement caps this exchange's useful
+    parallelism at ``num_buckets`` — with num_buckets < shuffle_partitions
+    the excess partitions stay empty. That cap is NOT an accident: the
+    shuffle moves slim doc rows (terms still packed in an array, ~4× fewer
+    bytes than posting rows) and the term column only exists after the
+    post-exchange explode, so there is nothing finer than ``bucket`` to
+    partition on; splitting a bucket by doc range instead would split its
+    (bucket, term) posting groups across partitions and emit multiple
+    encoded rows per (bucket, term) — violating the scorer's
+    one-row-per-(bucket, term) invariant (operators/search.py). Size
+    ``num_buckets >= shuffle_partitions`` for full posting-stage
+    parallelism (build_index warns when undersized; at 100 TB scale
+    num_buckets ≈ n_docs/2M ≫ cores, so the cap never binds there).
+    """
     keys = _bucket_partition_keys(
         config.num_buckets, config.shuffle_partitions
     )
@@ -450,6 +465,16 @@ def build_index(
     (bucket, term) for postings and one small groupBy(term) for stats.
     """
     cfg = config or EngineConfig()
+    if cfg.num_buckets < cfg.shuffle_partitions:
+        import warnings
+
+        warnings.warn(
+            f"num_buckets={cfg.num_buckets} < shuffle_partitions="
+            f"{cfg.shuffle_partitions}: the posting-sort stage's parallelism "
+            "is capped at num_buckets (whole-bucket placement — see "
+            "bucket_exchange); size num_buckets >= shuffle_partitions",
+            stacklevel=2,
+        )
     cat = CatalogAdapter(index_path)
     t0 = time.time()
 
@@ -489,7 +514,10 @@ def build_index(
     # (EngineConfig.files_max_partition_bytes / files_open_cost_bytes):
     # a repartition here would re-shuffle the full parsed relation in every
     # downstream job; split-size tuning gives the same fan-out for free.
-    parsed = spark.read.parquet(cat.table_path("parsed")).drop("batch")
+    # read_table (not a direct parquet read) so Iceberg-routed builds read
+    # the table they actually wrote; `batch` is the lineage column in both
+    # modes (partition-discovered on parquet, explicit on Iceberg).
+    parsed = cat.read_table(spark, "parsed").drop("batch")
     t_parse = time.time()
     stage_sec, n_docs, _avg_dl = derive_index_tables(spark, cat, parsed, cfg)
 

@@ -23,8 +23,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,6 +34,15 @@ from pyspark.sql import DataFrame, SparkSession
 #: session conf key naming the Iceberg namespace (e.g. ``ice.search_index``)
 #: that CatalogAdapter should write through. Unset → parquet+manifest mode.
 ICEBERG_NAMESPACE_CONF = "spark.searchengine.iceberg.namespace"
+
+#: Iceberg sizes output files in BYTES (write.target-file-size-bytes);
+#: the parquet branch's ``max_records_per_file`` knob has no direct Iceberg
+#: equivalent, so Iceberg writes use this fixed byte target instead.
+ICEBERG_TARGET_FILE_BYTES = 64 * 1024 * 1024
+
+#: batch ids land in directory names and (Iceberg mode) interpolated SQL
+#: predicates — restrict them to filesystem/SQL-inert characters.
+_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9_.-]+$")
 
 
 def iceberg_runtime_available(spark: SparkSession) -> bool:
@@ -120,11 +131,9 @@ class CatalogAdapter:
     ) -> None:
         ident = self._iceberg_ident(df.sparkSession, name)
         if ident:
-            writer = df.writeTo(ident).using("iceberg")
-            if max_records_per_file:
-                writer = writer.tableProperty(
-                    "write.target-file-size-bytes", str(64 * 1024 * 1024)
-                )
+            writer = df.writeTo(ident).using("iceberg").tableProperty(
+                "write.target-file-size-bytes", str(ICEBERG_TARGET_FILE_BYTES)
+            )
             if partition_by:
                 from pyspark.sql.functions import col
 
@@ -191,6 +200,11 @@ class CatalogAdapter:
         A batch directory without a manifest entry (crash mid-write) is
         overwritten on retry — exactly-once at batch granularity.
         """
+        if not _BATCH_ID_RE.match(batch_id):
+            raise ValueError(
+                f"batch_id {batch_id!r} must match {_BATCH_ID_RE.pattern} "
+                "(it names a directory and, in Iceberg mode, a SQL predicate)"
+            )
         manifest = self._load()
         existed = name in manifest["tables"]
         t = manifest["tables"].setdefault(
@@ -296,6 +310,12 @@ class CatalogAdapter:
             spark = SparkSession.getActiveSession()
             if spark is not None:
                 spark.sql(f"DROP TABLE IF EXISTS {ident}")
+            else:
+                warnings.warn(
+                    f"dropping manifest entry for {name} but no active "
+                    f"SparkSession — Iceberg table {ident} is left orphaned",
+                    stacklevel=2,
+                )
         shutil.rmtree(self.table_path(name), ignore_errors=True)
         del manifest["tables"][name]
         self._commit(manifest, "drop", name)

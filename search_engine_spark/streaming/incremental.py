@@ -205,7 +205,9 @@ def compact_staging(
     cfg = config_from_properties(cat.properties(), explicit=config)
     staged = spark.read.parquet(staging_dir)
 
-    existing = spark.read.parquet(cat.table_path("parsed")).select("doc_id")
+    # read_table (not a direct parquet read) so an Iceberg-routed index
+    # compacts the table it actually wrote (catalog dispatches on ident)
+    existing = cat.read_table(spark, "parsed").select("doc_id")
     # latest-wins within staging: the same doc_id can appear twice in the
     # staging dir (foreachBatch retry re-appending after a partial write,
     # or the same url crawled twice before compaction ran)
@@ -235,7 +237,7 @@ def compact_staging(
                          metrics={"strategy": "stream_compact",
                                   "staging_dir": staging_dir})
 
-    parsed = spark.read.parquet(cat.table_path("parsed")).drop("batch")
+    parsed = cat.read_table(spark, "parsed").drop("batch")
     stage_sec, n_docs, avg_dl = derive_index_tables(spark, cat, parsed, cfg)
     return {"n_docs": int(n_docs), "avg_dl": avg_dl,
             "batch_id": batch_id, "stage_sec": stage_sec}

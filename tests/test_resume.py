@@ -342,3 +342,12 @@ def test_hash_slice_resume_rejects_changed_slice_count(
     n_a = CatalogAdapter(index_path).read_table(spark, "doc_stats").count()
     n_b = CatalogAdapter(fresh).read_table(spark, "doc_stats").count()
     assert n_a == n_b  # no doc parsed 0 or 2 times
+
+
+def test_append_batch_rejects_unsafe_batch_ids(tmp_path):
+    """batch ids name directories and (Iceberg mode) SQL predicates —
+    the API boundary must reject anything outside [A-Za-z0-9_.-]."""
+    cat = CatalogAdapter(str(tmp_path / "cat"))
+    for bad in ("it's", "a b", "x;drop", ""):
+        with pytest.raises(ValueError):
+            cat.append_batch(None, "t", bad)
