@@ -53,10 +53,17 @@ MAX_DUP_2GRAM_FRAC = 0.1
 MAX_SYMBOL_RATIO = 0.1
 
 
-def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "text", tokens_col().alias("toks")
-    )
+def text_gopher_filter(spark: SparkSession, sf_dir: str,
+                       docs: DataFrame | None = None) -> DataFrame:
+    """``docs`` may inject an already-materialized (doc_id, text, toks)
+    relation so a composed pipeline scans+tokenizes the corpus once
+    (corpus_curate); standalone callers leave it None."""
+    if docs is None:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", tokens_col().alias("toks")
+        )
+    else:
+        docs = docs.select("doc_id", "text", "toks")
     n = F.size("toks")
     mwl = F.round(
         F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
@@ -149,8 +156,12 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\+?\d[\d\- ()]{6,}\d"
 
 
-def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def text_pii_scrub(spark: SparkSession, sf_dir: str,
+                   docs: DataFrame | None = None) -> DataFrame:
+    """``docs`` injects a shared (doc_id, text, ...) relation
+    (corpus_curate single-scan contract); None → fresh parquet scan."""
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
     t0 = F.col("text")
     n_emails = F.regexp_count(t0, F.lit(EMAIL_RE))
     t1 = F.regexp_replace(t0, F.lit(EMAIL_RE), F.lit("<EMAIL>"))
@@ -229,7 +240,7 @@ GROUP BY source, lang
 # --- the full curation recipe -------------------------------------------------
 
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end 100 TB corpus curation as one composed pipeline.
+    """End-to-end 100 TB corpus curation as one composed SINGLE-SCAN pipeline.
 
     quality filter → exact dedup (min-doc_id winner per text hash) →
     LSH-verified near-dedup (drop the higher doc_id of each confirmed
@@ -238,28 +249,48 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-gated operator, chained. All joins are equi-joins on doc_id
     (shuffle-hash/AQE at scale) except the dedup internals, which keep
     their bounded banded/rare-shingle shapes.
+
+    Scan/tokenize discipline: the corpus relation (doc_id, lang, source,
+    text, toks) is materialized ONCE and injected into every stage via
+    their ``docs=`` parameter (the same injection pattern as
+    dedup_lsh_verified's ``shingles=``) — one parquet scan and one
+    tokenizer pass feed gopher scoring, exact-dedup hashing, the shingle
+    relation, and the PII scrub, where the naive composition paid ~5 scans
+    and ~3 tokenizations (the locally-page-cache-hidden cost that becomes
+    the dominant multiplier at 100 TB). Locally this is a .persist(); at
+    scale it is the same persisted intermediate table the index build
+    stages as its parse checkpoint. Plan-pinned by
+    tests/test_plans.py::test_corpus_curate_scans_documents_once.
     """
     from search_engine_spark.pipelines.dedup import (
         dedup_exact, dedup_lsh_verified,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", "text",
+                tokens_col().alias("toks"))
+        .persist()
+    )
     quality = (
-        text_gopher_filter(spark, sf_dir)
+        text_gopher_filter(spark, sf_dir, docs=base)
         .filter(F.col("keep"))
         .select("doc_id", "n_words")
     )
-    exact_winners = dedup_exact(spark, sf_dir).select(
+    exact_winners = dedup_exact(spark, sf_dir, docs=base).select(
         F.col("keep_doc_id").alias("doc_id")
     )
     near_losers = (
-        dedup_lsh_verified(spark, sf_dir)
+        dedup_lsh_verified(spark, sf_dir, docs=base)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    scrubbed = text_pii_scrub(spark, sf_dir).select("doc_id", "scrubbed")
+    scrubbed = text_pii_scrub(spark, sf_dir, docs=base).select(
+        "doc_id", "scrubbed"
+    )
     return (
-        docs.join(quality, "doc_id")
+        base.select("doc_id", "lang", "source")
+        .join(quality, "doc_id")
         .join(exact_winners, "doc_id")
         .join(near_losers, "doc_id", "left_anti")
         .join(scrubbed, "doc_id")

@@ -39,8 +39,13 @@ MAX_SHINGLE_DF = 100
 
 # --- exact dedup -------------------------------------------------------------
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def dedup_exact(spark: SparkSession, sf_dir: str,
+                docs: DataFrame | None = None) -> DataFrame:
+    """``docs`` (doc_id, text, ...) lets a composed pipeline inject an
+    already-materialized corpus relation instead of re-scanning parquet
+    (corpus_curate's single-scan contract)."""
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.md5("text").alias("text_hash"))
         .groupBy("text_hash")
@@ -62,11 +67,19 @@ GROUP BY md5(text)
 
 # --- shingles (shared by jaccard + minhash) ----------------------------------
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-token shingles per doc: (doc_id, shingle)."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", tokens_col().alias("toks")
-    )
+def _shingles(spark: SparkSession, sf_dir: str,
+              docs: DataFrame | None = None) -> DataFrame:
+    """Distinct 3-token shingles per doc: (doc_id, shingle).
+
+    ``docs`` may inject a relation that already carries a ``toks`` column
+    (the simple-tokenizer array) — the tokenize then happens once upstream
+    instead of per-operator (corpus_curate's single-scan contract)."""
+    if docs is None:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", tokens_col().alias("toks")
+        )
+    else:
+        docs = docs.select("doc_id", "toks")
     shingles = F.expr(
         f"CASE WHEN size(toks) >= {SHINGLE_K} THEN "
         f"transform(sequence(0, size(toks) - {SHINGLE_K}), "
@@ -262,7 +275,8 @@ JOIN sig sb ON sb.doc_id = doc_b
 
 # --- LSH + exact verify (the production 100 TB dedup recipe) -----------------
 
-def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str,
+                       docs: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH candidate generation chained into exact-Jaccard verify.
 
     The canonical web-scale dedup composition: banded LSH proposes
@@ -272,9 +286,10 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever touch the verify join, so the expensive exact comparison runs on
     the LSH survivors instead of the corpus square. The shingle relation
     is computed once and cached — signatures and verify sets share it (at
-    100 TB it would be a persisted intermediate table).
+    100 TB it would be a persisted intermediate table). ``docs`` injects an
+    already-tokenized (doc_id, toks) relation (see _shingles).
     """
-    raw = _shingles(spark, sf_dir).cache()
+    raw = _shingles(spark, sf_dir, docs).cache()
     cand = dedup_minhash_lsh(spark, sf_dir, shingles=raw).cache()
     rare = (
         raw.groupBy("shingle")

@@ -227,45 +227,62 @@ def _lcg_plane_weights(p: int, dim: int) -> list[float]:
     ]
 
 
-def _band_cols(v, dim: int):
-    """band_id → band value (int) from the 16 hyperplane sign bits."""
+def _band_cols(v, dim: int, planes: int = TOPK_PLANES,
+               bands: int = TOPK_BANDS):
+    """band_id → band value (int) from the ``planes`` hyperplane sign bits,
+    grouped into ``bands`` bands of planes//bands bits each. The defaults
+    (18 planes / 6 bands) are the gate configuration; callers tune both to
+    trade recall against candidate fraction (more bits per band prunes
+    harder, more bands recalls more)."""
+    band_bits = planes // bands
     bits = []
-    for p in range(TOPK_PLANES):
+    for p in range(planes):
         ws = _lcg_plane_weights(p, dim)
         dot = _dot(v, F.array(*[F.lit(w) for w in ws]))
         bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
-    bands = []
-    for b in range(TOPK_BANDS):
+    out = []
+    for b in range(bands):
         val = F.lit(0)
-        for j in range(_BAND_BITS):
-            val = val + bits[b * _BAND_BITS + j] * F.lit(1 << j)
-        bands.append(val.cast("int"))
-    return F.array(*bands)
+        for j in range(band_bits):
+            val = val + bits[b * band_bits + j] * F.lit(1 << j)
+        out.append(val.cast("int"))
+    return F.array(*out)
 
 
-def sim_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
-    """ANN top-k via banded hyperplane LSH + exact cosine rerank."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+def _lsh_candidates(emb: DataFrame, dim: int, planes: int = TOPK_PLANES,
+                    bands: int = TOPK_BANDS) -> DataFrame:
+    """(probe_id, vec_id) candidate pairs sharing ≥1 LSH band with a probe.
+
+    The pruning stage of the ANN query, exposed separately so tests (and
+    capacity planning) can measure the candidate fraction directly."""
     sigs = emb.select(
-        "vec_id", F.posexplode(_band_cols(F.col("v"), dim))
+        "vec_id", F.posexplode(_band_cols(F.col("v"), dim, planes, bands))
     ).select(
         "vec_id", F.col("pos").alias("band_id"), F.col("col").alias("band_val")
     )
-    probes = emb.filter(F.col("vec_id") < N_PROBES)
-    probe_sigs = probes.select(
+    probe_sigs = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
-        F.posexplode(_band_cols(F.col("v"), dim)),
+        F.posexplode(_band_cols(F.col("v"), dim, planes, bands)),
     ).select(
         "probe_id", F.col("pos").alias("band_id"), F.col("col").alias("band_val")
     )
-    candidates = (
+    return (
         sigs.join(F.broadcast(probe_sigs), ["band_id", "band_val"])
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id")
         .distinct()
     )
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64,
+                 planes: int = TOPK_PLANES,
+                 bands: int = TOPK_BANDS) -> DataFrame:
+    """ANN top-k via banded hyperplane LSH + exact cosine rerank."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    candidates = _lsh_candidates(emb, dim, planes, bands)
     rerank = (
         candidates.join(emb, "vec_id")
         .join(
@@ -343,11 +360,17 @@ WHERE rank <= {TOP_K}
 # k-means — init = the embeddings of fixed vec_ids, ITERS unrolled Lloyd
 # steps — entirely as DataFrame aggregations (the only driver traffic is
 # the K×dim centroid matrix per iteration, which is what a real IVF
-# trainer broadcasts anyway). Cross-engine determinism: centroid means and
-# squared distances are rounded to 6 decimals on both sides and every
-# argmin tie-breaks on cell id, so DuckDB can replay the identical
-# training run declaratively (unrolled CTE chain, sql_sim_ivf_kmeans_topk).
-# Empty cells keep their previous centroid on both sides.
+# trainer broadcasts anyway). The centroid matrix rides the plan as
+# broadcast DATA — a K-row DataFrame joined to every vector, nearest cell
+# via min_by over (dist2, cell) — never as per-centroid literal
+# expressions, so the plan stays O(1) in K and the quantizer
+# parameterizes up to production K ≈ 10³-10⁴ (plan-size pinned at K=64 in
+# tests/test_plans.py::test_ivf_kmeans_plan_bounded_at_large_k).
+# Cross-engine determinism: centroid means and squared distances are
+# rounded to 6 decimals on both sides and every argmin tie-breaks on cell
+# id, so DuckDB can replay the identical training run declaratively
+# (unrolled CTE chain, sql_sim_ivf_kmeans_topk). Empty cells keep their
+# previous centroid on both sides.
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
@@ -355,11 +378,22 @@ KMEANS_INIT_IDS = tuple(range(N_PROBES, N_PROBES + KMEANS_K))  # 5..12
 IVF_NPROBE = 2
 
 
-def _dist2_to(cent: list[float]):
-    carr = F.array(*[F.lit(float(c)) for c in cent])
+def _centroid_df(spark: SparkSession, cents: list[list[float]]) -> DataFrame:
+    """The K×dim centroid matrix as a (cell, c) DataFrame — broadcast data,
+    not plan literals."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, c array<double>",
+    )
+
+
+def _dist2_cc():
+    """round(||v - c||², 6) between the vector and centroid columns —
+    the same left-to-right fold the literal-centroid formulation used, so
+    historical results (and the DuckDB replay) are bit-identical."""
     return F.round(
         F.aggregate(
-            F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
@@ -367,20 +401,35 @@ def _dist2_to(cent: list[float]):
     )
 
 
-def _nearest_cell(cents: list[list[float]]):
-    """Index of the nearest centroid (first-on-tie == lowest cell id)."""
-    dists = F.array(*[_dist2_to(c) for c in cents])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+def _assign_cells(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """(vec_id, v, cell) with cell = argmin dist² (ties → lowest cell).
+
+    Broadcast nested-loop join of the K-row centroid table against every
+    vector (K distance rows per vector — the O(N·K) a flat coarse
+    quantizer always pays), then one hash aggregation taking
+    ``min_by(cell, (dist2, cell))``. No per-centroid expressions anywhere:
+    K scales without touching the plan."""
+    d = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .select("vec_id", "v", "cell", _dist2_cc().alias("dist2"))
+    )
+    return d.groupBy("vec_id").agg(
+        F.min_by("cell", F.struct("dist2", "cell")).alias("cell"),
+        F.first("v").alias("v"),
+    )
 
 
-def _train_kmeans(emb: DataFrame, dim: int) -> list[list[float]]:
+def _train_kmeans(spark: SparkSession, emb: DataFrame, dim: int,
+                  k: int = KMEANS_K,
+                  iters: int = KMEANS_ITERS) -> list[list[float]]:
+    init_ids = tuple(range(N_PROBES, N_PROBES + k))
     init_rows = {
         int(r["vec_id"]): list(r["v"])
-        for r in emb.filter(F.col("vec_id").isin(*KMEANS_INIT_IDS)).collect()
+        for r in emb.filter(F.col("vec_id").isin(*init_ids)).collect()
     }
     cents = [init_rows[i] for i in sorted(init_rows)]
-    for _ in range(KMEANS_ITERS):
-        assigned = emb.select(_nearest_cell(cents).alias("cell"), "v")
+    for _ in range(iters):
+        assigned = _assign_cells(emb, _centroid_df(spark, cents))
         means = (
             assigned.select("cell", F.posexplode("v").alias("d", "val"))
             .groupBy("cell", "d")
@@ -392,34 +441,38 @@ def _train_kmeans(emb: DataFrame, dim: int) -> list[list[float]]:
             by_cell.setdefault(int(r["cell"]), {})[int(r["d"])] = float(r["mv"])
         cents = [
             [by_cell[c][d] for d in range(dim)] if c in by_cell else cents[c]
-            for c in range(KMEANS_K)
+            for c in range(k)
         ]
     return cents
 
 
-def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str,
-                        dim: int = 64) -> DataFrame:
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str, dim: int = 64,
+                        k: int = KMEANS_K, nprobe: int = IVF_NPROBE,
+                        iters: int = KMEANS_ITERS) -> DataFrame:
     """IVF ANN with learned centroids: train k-means, assign cells, probe
-    the ``IVF_NPROBE`` nearest cells per probe vector, exact cosine rerank
-    within them."""
+    the ``nprobe`` nearest cells per probe vector, exact cosine rerank
+    within them. ``k``/``nprobe``/``iters`` parameterize the quantizer;
+    the gate entry runs the defaults (K=8, replayed exactly by
+    sql_sim_ivf_kmeans_topk)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = _train_kmeans(emb, dim)
+    cents = _train_kmeans(spark, emb, dim, k=k, iters=iters)
+    cent_df = _centroid_df(spark, cents)
 
-    members = emb.select("vec_id", _nearest_cell(cents).alias("cell"))
+    members = _assign_cells(emb, cent_df).select("vec_id", "cell")
     probe_dists = (
         emb.filter(F.col("vec_id") < N_PROBES)
+        .crossJoin(F.broadcast(cent_df))
         .select(
-            F.col("vec_id").alias("probe_id"),
-            F.posexplode(F.array(*[_dist2_to(c) for c in cents]))
-            .alias("cell", "dist2"),
+            F.col("vec_id").alias("probe_id"), "cell",
+            _dist2_cc().alias("dist2"),
         )
     )
     wp = Window.partitionBy("probe_id").orderBy("dist2", "cell")
     probe_cells = (
         probe_dists.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("probe_id", "cell")
     )
     candidates = (

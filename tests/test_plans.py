@@ -213,6 +213,85 @@ def test_source_mix_total_is_broadcast(spark):
     assert "Window" not in plan, plan
 
 
+def test_corpus_curate_scans_documents_once(spark):
+    """The fused curation recipe materializes (doc_id, lang, source, text,
+    toks) ONCE and threads it through every stage via docs= injection —
+    the executed plan must contain at most one parquet scan of the
+    documents table (everything else reads the InMemoryRelation). The
+    naive composition paid ~5 scans + ~3 tokenizer passes."""
+    from search_engine_spark.pipelines.curation import (
+        corpus_curate, text_gopher_filter,
+    )
+
+    def walk(node, counts):
+        name = node.getClass().getSimpleName()
+        if name == "LogicalRelation":
+            counts["raw_scans"] += 1
+        elif name == "InMemoryRelation":
+            counts["cached_reads"] += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next(), counts)
+
+    # The tree walk is exact where string-counting is not: InMemoryRelation
+    # is a LEAF in the logical plan (the cached child is a field, not a
+    # child node), so every LogicalRelation the walk still finds is a scan
+    # the cache did NOT absorb. corpus_curate touches only the documents
+    # table, so raw_scans == uncached documents scans.
+    try:
+        df = corpus_curate(spark, "/root/testdata/sf0.001")
+        counts = {"raw_scans": 0, "cached_reads": 0}
+        walk(df._jdf.queryExecution().optimizedPlan(), counts)
+        assert counts["raw_scans"] == 0, counts
+        assert counts["cached_reads"] >= 4, counts  # every stage rides base
+    finally:
+        spark.catalog.clearCache()
+
+    # control: the standalone operator DOES scan parquet directly — the
+    # walk must see exactly that, or the assertion above proves nothing
+    ctl = {"raw_scans": 0, "cached_reads": 0}
+    walk(
+        text_gopher_filter(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().optimizedPlan(),
+        ctl,
+    )
+    assert ctl == {"raw_scans": 1, "cached_reads": 0}, ctl
+
+
+def test_ivf_kmeans_plan_bounded_at_large_k(spark):
+    """The coarse quantizer's centroid matrix must ride the plan as
+    broadcast DATA (K-row DataFrame join + min_by), not per-centroid
+    literal expressions: the plan text may not grow with K. The old
+    literal formulation was ~K× larger at K=64 and unusable at a
+    production K of 10³-10⁴."""
+    from search_engine_spark.pipelines.similarity import sim_ivf_kmeans_topk
+
+    sf = "/root/testdata/sf0.001"
+    small = _explain(sim_ivf_kmeans_topk(spark, sf, k=8), "formatted")
+    large_df = sim_ivf_kmeans_topk(spark, sf, k=64)
+    large = _explain(large_df, "formatted")
+    assert len(large) < 1.3 * len(small), (len(small), len(large))
+    assert "CartesianProduct" not in large
+    rows = large_df.collect()
+    assert 0 < len(rows) <= 5 * 10  # N_PROBES * TOP_K
+    assert all(r["rank"] <= 10 for r in rows)
+
+
+def test_sessionize_native_matches_lag_sum(spark):
+    """session_window and the lag+running-sum formulation differ only on
+    events EXACTLY gap seconds apart (>= vs >); the fixture has none
+    (verified at every SF), so both must agree row for row. session_window
+    is the state-store-ready shape (streaming-capable groupBy)."""
+    from search_engine_spark.pipelines.relational import (
+        rel_sessionize, rel_sessionize_native,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {tuple(r) for r in rel_sessionize(spark, sf).collect()}
+    b = {tuple(r) for r in rel_sessionize_native(spark, sf).collect()}
+    assert a == b
+
+
 def test_murmur3_matches_spark_hash(spark):
     """_bucket_partition_keys relies on a pure-Python replica of Spark's
     Murmur3 int hash; pin them equal so a Spark change can't desync the
