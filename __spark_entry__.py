@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_top_customers": relational.rel_top_customers,
         "rel_event_windows": relational.rel_event_windows,
         "rel_sessionize": relational.rel_sessionize,
+        "rel_sessionize_native": relational.rel_sessionize_native,
         "rel_distinct_union": relational.rel_distinct_union,
         # --- streaming -------------------------------------------------------
         "stream_event_counts": incremental.stream_event_counts,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_customers": relational.SQL_REL_TOP_CUSTOMERS,
         "rel_event_windows": relational.SQL_REL_EVENT_WINDOWS,
         "rel_sessionize": relational.SQL_REL_SESSIONIZE,
+        "rel_sessionize_native": relational.SQL_REL_SESSIONIZE_NATIVE,
         "rel_distinct_union": relational.SQL_REL_DISTINCT_UNION,
         "stream_event_counts": incremental.SQL_STREAM_EVENT_COUNTS,
     }

@@ -12,12 +12,20 @@ implemented for real here:
   (width/height little-endian u16, colour-resolution bits), per the
   GIF89a specification;
 - JPEG — SOI marker then a marker walk to the first SOF frame header
-  (precision byte, height/width big-endian u16), per ITU-T T.81 §B.2.2.
+  (precision byte, height/width big-endian u16), per ITU-T T.81 §B.2.2;
+- WEBP — RIFF container walk ("RIFF"+size+"WEBP", then fourcc chunks):
+  VP8X extended header (24-bit little-endian canvas width/height minus
+  one) or a lossy "VP8 " frame tag (0x9D012A sync code, 14-bit
+  little-endian dims), per the public WebP container/bitstream specs;
+- BMP  — "BM" signature + BITMAPINFOHEADER-family DIB header (s32le
+  width/height — negative height = top-down, reported as magnitude —
+  u16le bits-per-pixel), per the Windows BMP format documentation.
 
-``synth_png/synth_gif/synth_jpeg`` build byte-correct minimal files
-(real CRCs, real marker segments) so tests and the ``mm_image_dims``
-gate entry can round-trip the parser against genuine format bytes
-without shipping binary fixtures.
+``synth_png/synth_gif/synth_jpeg/synth_webp/synth_bmp`` build
+byte-correct minimal files (real CRCs, real marker segments, real RIFF
+chunk walks) so tests and the ``mm_image_dims`` gate entry can
+round-trip the parser against genuine format bytes without shipping
+binary fixtures.
 """
 
 from __future__ import annotations
@@ -62,6 +70,28 @@ def synth_gif(width: int, height: int, bit_depth: int = 8) -> bytes:
     )
 
 
+def synth_webp(width: int, height: int) -> bytes:
+    """RIFF/WEBP container with a VP8X extended header (24-bit canvas
+    dims), per the WebP container spec. 30 bytes."""
+    vp8x = (
+        bytes([0, 0, 0, 0])  # flags + reserved
+        + (width - 1).to_bytes(3, "little")
+        + (height - 1).to_bytes(3, "little")
+    )
+    chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def synth_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """"BM" file header + BITMAPINFOHEADER (40-byte DIB). 54 bytes —
+    header-complete like the other synthesizers (no pixel array)."""
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, 0, 2835, 2835, 0, 0
+    )
+    header = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    return header + dib
+
+
 def synth_jpeg(width: int, height: int) -> bytes:
     """SOI + APP0(JFIF) + DQT + SOF0 + EOI — a real marker sequence the
     parser must walk (the SOF is deliberately NOT the first segment).
@@ -89,6 +119,17 @@ def classify_media(payload: bytes) -> str:
         return "image/gif"
     if payload[:2] == b"\xff\xd8":
         return "image/jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "image/webp"
+    # "BM" alone is weak (printable ASCII); require a known DIB header size
+    # at offset 14 (BITMAPCOREHEADER..BITMAPV5HEADER family) like file(1)
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 18
+        and struct.unpack("<I", payload[14:18])[0]
+        in (12, 40, 52, 56, 64, 108, 124)
+    ):
+        return "image/bmp"
     return "unknown"
 
 
@@ -120,9 +161,49 @@ def decode_media_header(payload: bytes) -> dict:
             dims = _jpeg_sof_dims(payload)
             if dims:
                 out["bit_depth"], out["height"], out["width"] = dims
+        elif kind == "image/webp":
+            dims = _webp_dims(payload)
+            if dims:
+                out["width"], out["height"] = dims
+                # WebP carries no bit-depth field in its headers; leave -1
+        elif kind == "image/bmp":
+            hdr_size = struct.unpack("<I", payload[14:18])[0]
+            if hdr_size >= 40 and len(payload) >= 30:
+                w, h = struct.unpack("<ii", payload[18:26])
+                out["width"], out["height"] = w, abs(h)  # h<0 = top-down
+                out["bit_depth"] = struct.unpack("<H", payload[28:30])[0]
+            elif hdr_size == 12 and len(payload) >= 26:  # BITMAPCOREHEADER
+                # 12-byte DIB: size(4) width(u16) height(u16) planes(u16)
+                # bpp(u16)
+                w, h = struct.unpack("<HH", payload[18:22])
+                out["width"], out["height"] = w, h
+                out["bit_depth"] = struct.unpack("<H", payload[24:26])[0]
     except (struct.error, IndexError):  # truncated mid-field
         pass
     return out
+
+
+def _webp_dims(payload: bytes) -> tuple[int, int] | None:
+    """Walk RIFF chunks to the first VP8X (canvas dims) or lossy VP8 frame
+    header (sync-code-validated 14-bit dims)."""
+    i = 12  # past RIFF header + "WEBP" form type
+    n = len(payload)
+    while i + 8 <= n:
+        fourcc = payload[i:i + 4]
+        size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        body = payload[i + 8:i + 8 + size]
+        if fourcc == b"VP8X" and len(body) >= 10:
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            return w, h
+        if fourcc == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":  # frame sync code
+                return None
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return w, h
+        i += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    return None
 
 
 def _jpeg_sof_dims(payload: bytes) -> tuple[int, int, int] | None:

@@ -8,7 +8,7 @@ per-row Python UDFs).
 Two decode branches, both real:
 
 - ``extract_media_headers`` — container-aware decode: magic-byte
-  classification plus PNG/GIF/JPEG header parsing (width/height/bit-depth)
+  classification plus PNG/GIF/JPEG/WEBP/BMP header parsing (width/height/bit-depth)
   implemented from the format specs in ``functions/media.py``. Full pixel
   decode would need PIL/ffmpeg (absent in this container) and slots in at
   the same seam — the header fields are what a 100 TB crawl pipeline
@@ -18,7 +18,7 @@ Two decode branches, both real:
   features (length, boundary bytes, checksum) with no sniffing.
 
 ``mm_image_dims`` is the gate entry for the image branch: it synthesizes
-byte-correct PNG/GIF/JPEG payloads (real CRCs and marker segments,
+byte-correct PNG/GIF/JPEG/WEBP/BMP payloads (real CRCs and marker segments,
 parameters a deterministic function of doc_id) and runs them through the
 production header decoder; the DuckDB oracle recomputes the expected
 dimensions from doc_id arithmetic, so a hash match proves the parser
@@ -37,7 +37,8 @@ from pyspark.sql.types import (
 )
 
 from search_engine_spark.functions.media import (
-    decode_media_header, synth_gif, synth_jpeg, synth_png,
+    decode_media_header, synth_bmp, synth_gif, synth_jpeg, synth_png,
+    synth_webp,
 )
 from search_engine_spark.pipelines.common import load
 
@@ -117,7 +118,8 @@ def extract_media_headers(media: DataFrame,
     """Decode container headers from a binary media column.
 
     The production image-decode operator: classify by magic bytes, parse
-    PNG IHDR / GIF logical-screen / JPEG SOF dimensions (functions/media.py)
+    PNG IHDR / GIF logical-screen / JPEG SOF / WEBP VP8X-VP8 / BMP DIB
+    dimensions (functions/media.py)
     in Arrow batches. Unknown or truncated payloads degrade to -1 fields
     instead of failing the stage. Input: (doc_id, <payload_col> binary).
     """
@@ -140,13 +142,20 @@ def extract_media_headers(media: DataFrame,
     )
 
 
-def synth_media_payloads(docs: DataFrame) -> DataFrame:
-    """Deterministic PNG/GIF/JPEG payloads keyed on doc_id (test corpus).
+#: bits-per-pixel cycle for the synthetic BMP payloads (the legal
+#: BITMAPINFOHEADER values)
+_BMP_BPP = (1, 4, 8, 16, 24, 32)
 
-    kind = doc_id % 3 (png/gif/jpeg); width = 1 + doc_id % 1021;
+
+def synth_media_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG/GIF/JPEG/WEBP/BMP payloads keyed on doc_id.
+
+    kind = doc_id % 5 (png/gif/jpeg/webp/bmp); width = 1 + doc_id % 1021;
     height = 1 + (7·doc_id) % 769; bit depth 8/16 alternating for PNG,
-    1..8 cycling for GIF, 8 for JPEG (baseline). The payloads are
-    byte-correct files (real CRCs / marker walks), not mocks.
+    1..8 cycling for GIF, 8 for JPEG (baseline), absent for WEBP (VP8X
+    carries none — decoder reports -1), the legal bpp cycle for BMP. The
+    payloads are byte-correct files (real CRCs / marker walks / RIFF
+    chunk walks), not mocks.
     """
     schema = StructType(
         [
@@ -162,12 +171,16 @@ def synth_media_payloads(docs: DataFrame) -> DataFrame:
                 d = int(d)
                 w = 1 + d % 1021
                 h = 1 + (7 * d) % 769
-                if d % 3 == 0:
+                if d % 5 == 0:
                     payloads.append(synth_png(w, h, 8 if d % 2 == 0 else 16))
-                elif d % 3 == 1:
+                elif d % 5 == 1:
                     payloads.append(synth_gif(w, h, (d % 8) + 1))
-                else:
+                elif d % 5 == 2:
                     payloads.append(synth_jpeg(w, h))
+                elif d % 5 == 3:
+                    payloads.append(synth_webp(w, h))
+                else:
+                    payloads.append(synth_bmp(w, h, _BMP_BPP[d % 6]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(fn, schema=schema)
@@ -181,16 +194,21 @@ def mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MM_IMAGE_DIMS = """
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+       CASE doc_id % 5 WHEN 0 THEN 'image/png'
                        WHEN 1 THEN 'image/gif'
-                       ELSE 'image/jpeg' END AS media_kind,
+                       WHEN 2 THEN 'image/jpeg'
+                       WHEN 3 THEN 'image/webp'
+                       ELSE 'image/bmp' END AS media_kind,
        (1 + doc_id % 1021)::BIGINT AS width,
        (1 + (7 * doc_id) % 769)::BIGINT AS height,
-       (CASE doc_id % 3
+       (CASE doc_id % 5
           WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END
           WHEN 1 THEN (doc_id % 8) + 1
-          ELSE 8 END)::BIGINT AS bit_depth,
-       (CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 14
-                        ELSE 110 END)::BIGINT AS n_bytes
+          WHEN 2 THEN 8
+          WHEN 3 THEN -1
+          ELSE [1, 4, 8, 16, 24, 32][(doc_id % 6) + 1] END)::BIGINT
+         AS bit_depth,
+       (CASE doc_id % 5 WHEN 0 THEN 45 WHEN 1 THEN 14 WHEN 2 THEN 110
+                        WHEN 3 THEN 30 ELSE 54 END)::BIGINT AS n_bytes
 FROM documents
 """

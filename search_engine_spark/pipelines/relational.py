@@ -152,6 +152,53 @@ FROM g GROUP BY user_id
 """
 
 
+def rel_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` — the
+    state-store-ready formulation (the identical groupBy works under
+    Structured Streaming with watermarked session state, which the
+    lag+running-sum window formulation cannot).
+
+    Boundary semantics: a session window spans [first_ts, last_ts + gap),
+    so an event exactly ``gap`` after its predecessor starts a NEW
+    session — i.e. new-session-iff ``gap_sec >= SESSION_GAP_SEC``, one
+    tick stricter than ``rel_sessionize``'s ``>``. The DuckDB oracle
+    mirrors that (>=). The driver fixture has no exact-gap event pairs
+    (verified at sf 0.001/0.01/0.1), so both formulations agree on it —
+    pinned by tests/test_plans.py::test_sessionize_native_matches_lag_sum.
+    Both are kept as gate entries: same answers, different plans (two
+    aggregations over session windows here vs a window function + one
+    aggregation there).
+    """
+    ev = load(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_SEC} seconds"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+SQL_REL_SESSIONIZE_NATIVE = f"""
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) >= {SESSION_GAP_SEC}
+                THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id
+"""
+
+
 def rel_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops: distinct keys of two relations unioned then counted."""
     orders = load(spark, sf_dir, "orders").select(

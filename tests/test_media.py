@@ -15,7 +15,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from search_engine_spark.functions.media import (
-    classify_media, decode_media_header, synth_gif, synth_jpeg, synth_png,
+    classify_media, decode_media_header, synth_bmp, synth_gif, synth_jpeg,
+    synth_png, synth_webp,
 )
 
 
@@ -63,36 +64,90 @@ def test_jpeg_no_sof_before_sos_or_eoi():
     assert decode_media_header(sos)["width"] == -1
 
 
+def test_webp_vp8x_roundtrip():
+    p = synth_webp(16_000_000, 3)  # 24-bit canvas fields go beyond u16
+    assert p[:4] == b"RIFF" and p[8:12] == b"WEBP" and p[12:16] == b"VP8X"
+    r = decode_media_header(p)
+    # VP8X carries no bit-depth field — the decoder must report -1, not 8
+    assert r == {"media_kind": "image/webp", "width": 16_000_000,
+                 "height": 3, "bit_depth": -1}
+
+
+def test_webp_lossy_vp8_sync_code():
+    # hand-built lossy file: ICCP chunk first (odd size → pad byte), then
+    # a VP8 frame header with the 9D 01 2A sync code and 14-bit dims
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    iccp = b"ICCP" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    chunk = b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+    body = b"WEBP" + iccp + chunk
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    r = decode_media_header(p)
+    assert (r["width"], r["height"]) == (640, 480)
+    # corrupt sync code must degrade, not misreport
+    bad = p.replace(b"\x9d\x01\x2a", b"\x9d\x01\x2b")
+    assert decode_media_header(bad)["width"] == -1
+
+
+def test_bmp_roundtrip_and_topdown():
+    r = decode_media_header(synth_bmp(1021, 769, 24))
+    assert r == {"media_kind": "image/bmp", "width": 1021, "height": 769,
+                 "bit_depth": 24}
+    # negative height = top-down row order; dims reported as magnitude
+    p = bytearray(synth_bmp(10, 20, 32))
+    p[22:26] = struct.pack("<i", -20)
+    assert decode_media_header(bytes(p))["height"] == 20
+    # legacy BITMAPCOREHEADER (12-byte DIB, u16 dims)
+    core = (b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 321, 123, 1, 8))
+    r = decode_media_header(core)
+    assert (r["width"], r["height"], r["bit_depth"]) == (321, 123, 8)
+
+
+def test_bmp_weak_magic_needs_dib_header():
+    # printable text starting "BM" must NOT classify as a bitmap
+    assert classify_media(b"BMW dealers near me, open now...") == "unknown"
+
+
 @pytest.mark.parametrize("payload,kind", [
     (b"", "unknown"),
     (b"hello world", "unknown"),
     (b"GIF89a", "image/gif"),
     (b"\xff\xd8", "image/jpeg"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"RIFF\x00\x00\x00\x00WAVE", "unknown"),  # RIFF but not WEBP
+    (b"RIFF\x16\x00\x00\x00WEBP", "image/webp"),
 ])
 def test_classifier(payload, kind):
     assert classify_media(payload) == kind
 
 
-@settings(max_examples=60, deadline=None)
+_SYNTHS = [synth_png, synth_gif, lambda a, b: synth_jpeg(a, b),
+           lambda a, b: synth_webp(a, b), lambda a, b: synth_bmp(a, b)]
+
+
+@settings(max_examples=80, deadline=None)
 @given(st.integers(1, 65535), st.integers(1, 65535),
-       st.sampled_from([1, 2, 4, 8, 16]), st.integers(0, 2))
+       st.sampled_from([1, 2, 4, 8, 16]), st.integers(0, 4))
 def test_roundtrip_property(w, h, depth, kind):
     if kind == 0:
         pay, exp_depth = synth_png(w, h, depth), depth
     elif kind == 1:
         pay, exp_depth = synth_gif(w, h, min(depth, 8)), min(depth, 8)
-    else:
+    elif kind == 2:
         pay, exp_depth = synth_jpeg(w, h), 8
+    elif kind == 3:
+        pay, exp_depth = synth_webp(w, h), -1
+    else:
+        pay, exp_depth = synth_bmp(w, h, 24), 24
     r = decode_media_header(pay)
     assert (r["width"], r["height"], r["bit_depth"]) == (w, h, exp_depth)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=80, deadline=None)
 @given(st.integers(0, 120), st.integers(1, 65535), st.integers(1, 65535),
-       st.integers(0, 2))
+       st.integers(0, 4))
 def test_truncation_never_raises(cut, w, h, kind):
-    pay = [synth_png, synth_gif, lambda a, b: synth_jpeg(a, b)][kind](w, h)
+    pay = _SYNTHS[kind](w, h)
     r = decode_media_header(pay[:cut])
     assert set(r) == {"media_kind", "width", "height", "bit_depth"}
 
