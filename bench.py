@@ -34,18 +34,24 @@ CACHE_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_CACHE", os.path.join(os.path.dirname(__file__), ".bench_cache")
 )
 
-#: previous-round per-query seconds (BENCH_r02.json, sf0.1, 32 cpus,
-#: 150k-page build) — regression guard: any query slower than
-#: PREV_ROUND * (1 + TOLERANCE) is flagged in extra["regressions"].
-#: Update each round.
+#: previous-round per-query seconds (min of BENCH_r02/BENCH_r03 — r3 ran
+#: under loadavg 12 and inflated three sub-second queries, so the cleaner
+#: of the two rounds is the honest bar; sf0.1, 32 cpus, 150k-page build).
+#: Regression guard: any query slower than PREV_ROUND * (1 + TOLERANCE)
+#: is flagged in extra["regressions"]. Update each round.
 PREV_ROUND = {
     "index_build": 11.801,
-    "bm25_query_batch": 1.633,
-    "se_bm25_topk": 2.346,
+    "bm25_query_batch": 1.543,
+    "se_bm25_topk": 2.091,
     "se_term_df": 0.279,
     "dedup_minhash_lsh": 1.4,
-    "sim_bruteforce_topk": 0.627,
-    "text_fingerprint": 0.465,
+    "dedup_lsh_verified": 3.465,
+    "sim_bruteforce_topk": 0.573,
+    "sim_lsh_topk": 2.935,
+    "mm_image_dims": 0.341,
+    "text_fingerprint": 0.419,
+    "text_gopher_filter": 0.786,
+    "corpus_curate": 13.415,
     "rel_pricing_summary": 0.332,
     "rel_sessionize": 0.407,
 }
@@ -90,25 +96,56 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
+    probe_log: dict[str, dict] = {}
     try:
         extra["loadavg_start"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
 
+    from scripts.bench_scaling import contention_probe
+
+    #: extra attempts allowed while hunting for a clean-probed sample —
+    #: bounded so a long contention burst can't stall the driver's round
+    MAX_EXTRA_ATTEMPTS = 2
+
     def timed(name, fn, repeats=1):
-        """Record fn's wall; with repeats>1 keep the BEST run — this box's
-        external contention bursts make single samples of sub-5s queries
-        swing up to 8x, and best-of bounds the noise the same way the
-        pinned scaling protocol does (BASELINE.md)."""
+        """Record fn's wall — best-of with a contention gate.
+
+        Every sample is preceded by the SAME busy-cores+memcpy probe the
+        scaling harness gates on (scripts/bench_scaling.contention_probe):
+        best-of already bounds upward noise (external contention can only
+        inflate a sample, never deflate it), but a round where every probe
+        was contended used to surface as a phantom regression (3 flagged
+        in r3 under loadavg 12 with unchanged plans). Now, if no sample
+        probed clean after ``repeats`` tries, up to MAX_EXTRA_ATTEMPTS
+        more samples hunt for a clean window, and per-query probe
+        readings land in extra["probes"] so a regression flag can be read
+        against the contention evidence."""
         best = None
         out = None
-        for _ in range(repeats):
+        clean_samples = 0
+        samples = []
+        attempt = 0
+        while attempt < repeats or (
+            clean_samples == 0 and attempt < repeats + MAX_EXTRA_ATTEMPTS
+        ):
+            probe = contention_probe()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            attempt += 1
+            if probe["clean"]:
+                clean_samples += 1
             best = dt if best is None else min(best, dt)
+            samples.append(
+                {"sec": round(dt, 3), "clean": probe["clean"],
+                 "busy_cores": probe["busy_cores"],
+                 "memcpy_gbps": probe["memcpy_gbps"]}
+            )
         timings[name] = round(best, 3)
+        probe_log[name] = {"clean_samples": clean_samples,
+                           "n_samples": attempt, "samples": samples}
         return out
 
     # --- engine: index build + query latency over web_pages fixture --------
@@ -233,6 +270,75 @@ def main() -> None:
             repeats=3,
         )
 
+    # --- incremental compaction vs full rebuild -----------------------------
+    # The north_rule's resume/lineage machinery, measured: land 10% new
+    # docs through the streaming staging path (micro-batch parse of ONLY
+    # the new docs), fold them into a COPY of the built index with
+    # compact_staging (drops + re-derives the index tables, never
+    # re-parses), and compare against a measured full rebuild over the
+    # same 110% corpus. The delta is exactly the 100%-corpus re-parse the
+    # checkpoint structure avoids.
+    incoming = os.path.join(CACHE_DIR, f"web_pages_incoming_{N_PAGES}.parquet")
+    n_new = N_PAGES // 10
+    if not os.path.exists(incoming):
+        import pyarrow.parquet as pq
+
+        from search_engine_spark.sources.fixtures import generate_web_pages
+
+        # rows [N_PAGES, N_PAGES + n_new) of the deterministic generator:
+        # fresh urls/doc_ids, same corpus distribution
+        big = generate_web_pages(N_PAGES + n_new)
+        pq.write_table(big.slice(N_PAGES, n_new), incoming,
+                       compression="snappy", row_group_size=8_192)
+
+    import tempfile
+
+    def _compact_incremental() -> float:
+        from search_engine_spark.streaming.incremental import (
+            compact_staging, incremental_index_update,
+        )
+
+        work = tempfile.mkdtemp(prefix="bench_compact_")
+        idx_copy = os.path.join(work, "index")
+        shutil.copytree(index_path, idx_copy)
+        in_dir = os.path.join(work, "incoming")
+        os.makedirs(in_dir)
+        shutil.copy(incoming, os.path.join(in_dir, "pages.parquet"))
+        t0 = time.time()
+        incremental_index_update(
+            spark, in_dir, os.path.join(work, "staging"),
+            os.path.join(work, "ckpt"), config=cfg,
+        )
+        compact_staging(spark, idx_copy, os.path.join(work, "staging"),
+                        config=cfg)
+        dt = time.time() - t0
+        shutil.rmtree(work, ignore_errors=True)
+        return dt
+
+    def _full_rebuild() -> float:
+        from search_engine_spark.operators.index_build import build_index
+
+        rb_path = os.path.join(CACHE_DIR, f"index_rebuild_{N_PAGES}")
+        shutil.rmtree(rb_path, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, spark.read.parquet(fixture, incoming), rb_path,
+                    cfg, resume_batches=1)
+        dt = time.time() - t0
+        shutil.rmtree(rb_path, ignore_errors=True)
+        return dt
+
+    probe_pre = contention_probe()
+    compact_sec = _compact_incremental()
+    rebuild_sec = _full_rebuild()
+    extra["compaction"] = {
+        "incoming_docs": n_new,
+        "compact_sec": round(compact_sec, 3),
+        "rebuild_sec": round(rebuild_sec, 3),
+        "compact_over_rebuild": round(compact_sec / rebuild_sec, 3),
+        "probe_pre": probe_pre,
+        "probe_post": contention_probe(),
+    }
+
     # regression guard vs previous round (only meaningful at the standard
     # sf0.1 / 32-cpu configuration the driver runs)
     if _sf_label(SF_DIR) == 0.1 and int(CPUS) == 32:
@@ -251,6 +357,7 @@ def main() -> None:
         extra["regressions"] = regressions
         extra["regression_count"] = len(regressions)
 
+    extra["probes"] = probe_log
     try:
         extra["loadavg_end"] = round(os.getloadavg()[0], 2)
     except OSError:
