@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal decode ----------------------------------------------
         "mm_extract_features": multimodal.mm_extract_features,
         "mm_image_dims": multimodal.mm_image_dims,
+        "mm_av_meta": multimodal.mm_av_meta,
         # --- relational glue -------------------------------------------------
         "rel_pricing_summary": relational.rel_pricing_summary,
         "rel_top_customers": relational.rel_top_customers,
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": curation.sql_corpus_curate(),
         "mm_extract_features": multimodal.SQL_MM_EXTRACT_FEATURES,
         "mm_image_dims": multimodal.SQL_MM_IMAGE_DIMS,
+        "mm_av_meta": multimodal.SQL_MM_AV_META,
         "rel_pricing_summary": relational.SQL_REL_PRICING_SUMMARY,
         "rel_top_customers": relational.SQL_REL_TOP_CUSTOMERS,
         "rel_event_windows": relational.SQL_REL_EVENT_WINDOWS,

@@ -21,11 +21,23 @@ implemented for real here:
   width/height — negative height = top-down, reported as magnitude —
   u16le bits-per-pixel), per the Windows BMP format documentation.
 
-``synth_png/synth_gif/synth_jpeg/synth_webp/synth_bmp`` build
-byte-correct minimal files (real CRCs, real marker segments, real RIFF
-chunk walks) so tests and the ``mm_image_dims`` gate entry can
-round-trip the parser against genuine format bytes without shipping
-binary fixtures.
+Audio/video containers carry their stream metadata in headers too, so
+the same pure-bytes treatment covers the AV half of a crawl corpus:
+
+- WAV  — RIFF/"WAVE" chunk walk to the "fmt " chunk (format tag,
+  channels, sample rate, bits per sample — all little-endian) and the
+  "data" chunk size, which with the byte rate yields duration, per the
+  RIFF/WAVE (Multimedia Programming Interface) specification;
+- MP4  — ISO base-media-file-format box walk (ISO/IEC 14496-12):
+  "ftyp" major brand, "moov"/"mvhd" timescale + duration (version 0
+  and 1 layouts), "moov"/"trak"/"tkhd" presentation width/height
+  (16.16 big-endian fixed point).
+
+``synth_png/synth_gif/synth_jpeg/synth_webp/synth_bmp/synth_wav/
+synth_mp4`` build byte-correct minimal files (real CRCs, real marker
+segments, real RIFF chunk walks, real nested BMFF boxes) so tests and
+the ``mm_image_dims`` / ``mm_av_meta`` gate entries can round-trip the
+parsers against genuine format bytes without shipping binary fixtures.
 """
 
 from __future__ import annotations
@@ -107,6 +119,68 @@ def synth_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
 
 
+def synth_wav(sample_rate: int, channels: int, bits: int,
+              n_frames: int) -> bytes:
+    """RIFF/WAVE with a 16-byte PCM "fmt " chunk and a real (zero-filled)
+    "data" chunk of ``n_frames`` sample frames."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    data = bytes(n_frames * block_align)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _bmff_box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+#: identity transformation matrix (ISO 14496-12 §6.2.2) — 0x00010000 on
+#: the diagonal, 0x40000000 in w
+_BMFF_UNITY = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+
+
+def synth_mp4(width: int, height: int, timescale: int,
+              duration_units: int, version: int = 0) -> bytes:
+    """ftyp + moov{mvhd, trak{tkhd}} with full-size version-0 or
+    version-1 mvhd/tkhd bodies per ISO/IEC 14496-12. 236 bytes (v0) /
+    260 bytes (v1) — header-complete like the image synthesizers (no
+    mdat)."""
+    t = struct.pack(">Q" if version else ">I", 0)  # creation/mod times
+    dur = struct.pack(">Q" if version else ">I", duration_units)
+    mvhd = (
+        bytes([version, 0, 0, 0]) + t + t
+        + struct.pack(">I", timescale) + dur
+        + struct.pack(">i", 0x10000)       # rate 1.0
+        + struct.pack(">h", 0x0100)        # volume 1.0
+        + bytes(10)                        # reserved
+        + _BMFF_UNITY
+        + bytes(24)                        # pre_defined
+        + struct.pack(">I", 2)             # next_track_ID
+    )
+    tkhd = (
+        bytes([version, 0, 0, 7]) + t + t  # flags: enabled|in_movie|in_preview
+        + struct.pack(">I", 1) + bytes(4)  # track_ID + reserved
+        + dur + bytes(8)                   # duration + reserved
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, alt_group, volume, rsvd
+        + _BMFF_UNITY
+        + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed
+    )
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"mp41")
+    moov = _bmff_box(
+        b"moov",
+        _bmff_box(b"mvhd", mvhd) + _bmff_box(b"trak", _bmff_box(b"tkhd", tkhd)),
+    )
+    return ftyp + moov
+
+
 # --------------------------------------------------------------------------
 # classifier + parser
 # --------------------------------------------------------------------------
@@ -121,6 +195,11 @@ def classify_media(payload: bytes) -> str:
         return "image/jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "image/webp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "audio/wav"
+    # ISO BMFF: first box is conventionally ftyp (size u32be + "ftyp")
+    if payload[4:8] == b"ftyp":
+        return "video/mp4"
     # "BM" alone is weak (printable ASCII); require a known DIB header size
     # at offset 14 (BITMAPCOREHEADER..BITMAPV5HEADER family) like file(1)
     if (
@@ -181,6 +260,125 @@ def decode_media_header(payload: bytes) -> dict:
     except (struct.error, IndexError):  # truncated mid-field
         pass
     return out
+
+
+def decode_av_meta(payload: bytes) -> dict:
+    """Parse stream metadata from a WAV or MP4 binary payload.
+
+    Returns ``{"media_kind", "sample_rate", "channels", "bit_depth",
+    "width", "height", "duration_ms"}`` with -1 for fields the container
+    does not carry or that are unparseable — like
+    ``decode_media_header``, corrupt payloads degrade instead of raising.
+    duration_ms floors (WAV: data bytes over the byte rate; MP4: mvhd
+    duration units over the mvhd timescale).
+    """
+    kind = classify_media(payload)
+    out = {
+        "media_kind": kind, "sample_rate": -1, "channels": -1,
+        "bit_depth": -1, "width": -1, "height": -1, "duration_ms": -1,
+    }
+    try:
+        if kind == "audio/wav":
+            fmt = _riff_chunk(payload, b"fmt ")
+            if fmt is not None and len(fmt) >= 16:
+                (_tag, out["channels"], out["sample_rate"], byte_rate,
+                 _align, out["bit_depth"]) = struct.unpack("<HHIIHH",
+                                                           fmt[:16])
+                data = _riff_chunk(payload, b"data")
+                if data is not None and byte_rate > 0:
+                    out["duration_ms"] = len(data) * 1000 // byte_rate
+        elif kind == "video/mp4":
+            moov = _bmff_find(payload, 0, len(payload), b"moov")
+            if moov is not None:
+                mvhd = _bmff_find(payload, *moov, b"mvhd")
+                if mvhd is not None:
+                    dur = _mvhd_duration_ms(payload, *mvhd)
+                    if dur is not None:
+                        out["duration_ms"] = dur
+                trak = _bmff_find(payload, *moov, b"trak")
+                if trak is not None:
+                    tkhd = _bmff_find(payload, *trak, b"tkhd")
+                    if tkhd is not None:
+                        dims = _tkhd_dims(payload, *tkhd)
+                        if dims is not None:
+                            out["width"], out["height"] = dims
+    except (struct.error, IndexError):  # truncated mid-field
+        pass
+    return out
+
+
+def _riff_chunk(payload: bytes, fourcc: bytes) -> bytes | None:
+    """Walk RIFF chunks (past the 12-byte RIFF/form header) to the first
+    chunk with the given fourcc; return its body, truncation-clamped."""
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if payload[i:i + 4] == fourcc:
+            return payload[i + 8:i + 8 + size]
+        i += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    return None
+
+
+def _bmff_find(payload: bytes, start: int, end: int,
+               fourcc: bytes) -> tuple[int, int] | None:
+    """Walk sibling ISO-BMFF boxes in payload[start:end]; return the
+    (body_start, body_end) of the first box with the given type.
+
+    Handles 64-bit largesize (size==1) and to-end-of-file (size==0)
+    boxes per ISO/IEC 14496-12 §4.2."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", payload[i:i + 4])[0]
+        box_type = payload[i + 4:i + 8]
+        header = 8
+        if size == 1:
+            if i + 16 > end:
+                return None
+            size = struct.unpack(">Q", payload[i + 8:i + 16])[0]
+            header = 16
+        elif size == 0:
+            size = end - i
+        if size < header:  # corrupt — would loop forever
+            return None
+        if box_type == fourcc:
+            return i + header, min(i + size, end)
+        i += size
+    return None
+
+
+def _mvhd_duration_ms(payload: bytes, start: int, end: int) -> int | None:
+    """mvhd box body → floor(duration · 1000 / timescale); version 0
+    (u32 times) and 1 (u64 times) layouts."""
+    if end - start < 4:
+        return None
+    version = payload[start]
+    if version == 1:
+        if end - start < 32:
+            return None
+        timescale = struct.unpack(">I", payload[start + 20:start + 24])[0]
+        duration = struct.unpack(">Q", payload[start + 24:start + 32])[0]
+    else:
+        if end - start < 20:
+            return None
+        timescale = struct.unpack(">I", payload[start + 12:start + 16])[0]
+        duration = struct.unpack(">I", payload[start + 16:start + 20])[0]
+    if timescale == 0:
+        return None
+    return duration * 1000 // timescale
+
+
+def _tkhd_dims(payload: bytes, start: int, end: int) -> tuple[int, int] | None:
+    """tkhd box body → (width, height) from the trailing 16.16 fixed-point
+    fields; the offset of those fields depends only on the version byte."""
+    if end - start < 4:
+        return None
+    # v0 body is 84 bytes (width at offset 76), v1 adds 12 bytes of
+    # 64-bit times (width at offset 88)
+    off = start + (88 if payload[start] == 1 else 76)
+    if off + 8 > end:
+        return None
+    w, h = struct.unpack(">II", payload[off:off + 8])
+    return w >> 16, h >> 16
 
 
 def _webp_dims(payload: bytes) -> tuple[int, int] | None:

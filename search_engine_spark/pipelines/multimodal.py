@@ -23,6 +23,11 @@ parameters a deterministic function of doc_id) and runs them through the
 production header decoder; the DuckDB oracle recomputes the expected
 dimensions from doc_id arithmetic, so a hash match proves the parser
 extracts exactly the planted values from genuine format bytes.
+
+``extract_av_metadata`` / ``mm_av_meta`` are the audio/video siblings:
+WAV RIFF-chunk and MP4 ISO-BMFF box walks (sample rate, channels, bit
+depth, presentation dims, duration) over the same Arrow-batched seam,
+gated the same way with byte-correct synthetic containers.
 """
 
 from __future__ import annotations
@@ -37,8 +42,8 @@ from pyspark.sql.types import (
 )
 
 from search_engine_spark.functions.media import (
-    decode_media_header, synth_bmp, synth_gif, synth_jpeg, synth_png,
-    synth_webp,
+    decode_av_meta, decode_media_header, synth_bmp, synth_gif, synth_jpeg,
+    synth_mp4, synth_png, synth_wav, synth_webp,
 )
 from search_engine_spark.pipelines.common import load
 
@@ -190,6 +195,139 @@ def mm_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry: synthetic real-format payloads → production header decode."""
     docs = load(spark, sf_dir, "documents")
     return extract_media_headers(synth_media_payloads(docs))
+
+
+_AV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_kind", StringType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("bit_depth", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def extract_av_metadata(media: DataFrame,
+                        payload_col: str = "payload") -> DataFrame:
+    """Decode audio/video stream metadata from a binary media column.
+
+    The AV sibling of ``extract_media_headers``: WAV RIFF-chunk walk
+    (format, channels, rate, bit depth, data-over-byte-rate duration) and
+    MP4 ISO-BMFF box walk (mvhd timescale/duration, tkhd 16.16 dims) from
+    ``functions/media.py``, in Arrow batches. Fields a container does not
+    carry — and any corrupt/truncated payload — degrade to -1 instead of
+    failing the stage. Input: (doc_id, <payload_col> binary).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                rec = decode_av_meta(b)
+                rec["n_bytes"] = len(b)
+                rows.append(rec)
+            out = pd.DataFrame(rows)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "media_kind", "sample_rate", "channels",
+                       "bit_depth", "width", "height", "duration_ms",
+                       "n_bytes"]]
+
+    return media.select("doc_id", payload_col).mapInPandas(
+        fn, schema=_AV_SCHEMA
+    )
+
+
+#: sample-rate cycle for the synthetic WAV payloads (the common PCM rates)
+_WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+#: mvhd timescale cycle for the synthetic MP4 payloads
+_MP4_TSCALES = (600, 1000, 48000, 90000)
+
+
+def synth_av_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV/MP4 payloads keyed on doc_id.
+
+    kind = doc_id % 2 (wav/mp4). WAV: rate cycles _WAV_RATES on
+    doc_id % 5, channels = 1 + (doc_id % 4) // 2, bits = 8 or 16 on
+    (doc_id // 2) % 2, data = 1 + doc_id % 997 zero frames. MP4: the
+    image-gate dimension arithmetic (width 1 + doc_id % 1021, height
+    1 + 7·doc_id % 769), timescale cycles _MP4_TSCALES on doc_id % 4,
+    duration_units = 1 + 13·doc_id % 100000, mvhd/tkhd version
+    (doc_id % 4) // 2. Payloads are byte-correct containers (real RIFF
+    chunk walks, real nested BMFF boxes), not mocks.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    payloads.append(synth_wav(
+                        _WAV_RATES[d % 5],
+                        1 + (d % 4) // 2,
+                        8 + 8 * ((d // 2) % 2),
+                        1 + d % 997,
+                    ))
+                else:
+                    payloads.append(synth_mp4(
+                        1 + d % 1021,
+                        1 + (7 * d) % 769,
+                        _MP4_TSCALES[d % 4],
+                        1 + (13 * d) % 100000,
+                        version=(d % 4) // 2,
+                    ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(fn, schema=schema)
+
+
+def mm_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: synthetic real-container AV payloads → production decode."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_av_metadata(synth_av_payloads(docs))
+
+
+SQL_MM_AV_META = """
+SELECT doc_id,
+       CASE doc_id % 2 WHEN 0 THEN 'audio/wav' ELSE 'video/mp4' END
+         AS media_kind,
+       (CASE WHEN doc_id % 2 = 0
+             THEN [8000, 16000, 22050, 44100, 48000][(doc_id % 5) + 1]
+             ELSE -1 END)::BIGINT AS sample_rate,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2
+             ELSE -1 END)::BIGINT AS channels,
+       (CASE WHEN doc_id % 2 = 0 THEN 8 + 8 * ((doc_id // 2) % 2)
+             ELSE -1 END)::BIGINT AS bit_depth,
+       (CASE WHEN doc_id % 2 = 0 THEN -1
+             ELSE 1 + doc_id % 1021 END)::BIGINT AS width,
+       (CASE WHEN doc_id % 2 = 0 THEN -1
+             ELSE 1 + (7 * doc_id) % 769 END)::BIGINT AS height,
+       (CASE WHEN doc_id % 2 = 0
+             THEN ((1 + doc_id % 997) * 1000)
+                  // [8000, 16000, 22050, 44100, 48000][(doc_id % 5) + 1]
+             ELSE ((1 + (13 * doc_id) % 100000) * 1000)
+                  // [600, 1000, 48000, 90000][(doc_id % 4) + 1]
+        END)::BIGINT AS duration_ms,
+       (CASE WHEN doc_id % 2 = 0
+             THEN 44 + (1 + doc_id % 997)
+                       * (1 + (doc_id % 4) // 2)
+                       * (8 + 8 * ((doc_id // 2) % 2)) // 8
+             ELSE 236 + 24 * ((doc_id % 4) // 2)
+        END)::BIGINT AS n_bytes
+FROM documents
+"""
 
 
 SQL_MM_IMAGE_DIMS = """

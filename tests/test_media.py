@@ -15,8 +15,8 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from search_engine_spark.functions.media import (
-    classify_media, decode_media_header, synth_bmp, synth_gif, synth_jpeg,
-    synth_png, synth_webp,
+    classify_media, decode_av_meta, decode_media_header, synth_bmp,
+    synth_gif, synth_jpeg, synth_mp4, synth_png, synth_wav, synth_webp,
 )
 
 
@@ -114,8 +114,10 @@ def test_bmp_weak_magic_needs_dib_header():
     (b"GIF89a", "image/gif"),
     (b"\xff\xd8", "image/jpeg"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
-    (b"RIFF\x00\x00\x00\x00WAVE", "unknown"),  # RIFF but not WEBP
+    (b"RIFF\x00\x00\x00\x00WAVE", "audio/wav"),
+    (b"RIFF\x00\x00\x00\x00AVI ", "unknown"),  # RIFF but not WEBP/WAVE
     (b"RIFF\x16\x00\x00\x00WEBP", "image/webp"),
+    (b"\x00\x00\x00\x14ftypisom", "video/mp4"),
 ])
 def test_classifier(payload, kind):
     assert classify_media(payload) == kind
@@ -157,3 +159,100 @@ def test_truncation_never_raises(cut, w, h, kind):
 def test_garbage_never_raises(blob):
     r = decode_media_header(blob)
     assert isinstance(r["width"], int)
+
+
+# --------------------------------------------------------------------------
+# audio/video containers (WAV RIFF chunks, MP4 ISO-BMFF boxes)
+# --------------------------------------------------------------------------
+
+def test_wav_roundtrip_and_duration_floor():
+    w = synth_wav(44100, 2, 16, 44100 * 3 + 7)  # 3.000158... s stereo
+    # real RIFF structure: form type + fmt chunk fourcc at spec offsets
+    assert w[8:12] == b"WAVE" and w[12:16] == b"fmt "
+    r = decode_av_meta(w)
+    assert r["media_kind"] == "audio/wav"
+    assert (r["sample_rate"], r["channels"], r["bit_depth"]) == (44100, 2, 16)
+    assert r["duration_ms"] == 3000  # floors, never rounds up
+    assert (r["width"], r["height"]) == (-1, -1)  # audio carries no dims
+
+
+def test_wav_fmt_after_other_chunk():
+    # chunk walk must skip unknown chunks (e.g. LIST INFO) before fmt
+    w = bytearray(synth_wav(8000, 1, 8, 100))
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    payload = bytes(w[:12]) + extra + bytes(w[12:])
+    r = decode_av_meta(payload)
+    assert r["sample_rate"] == 8000 and r["duration_ms"] == 12  # 100/8000 s
+
+
+def test_mp4_roundtrip_versions():
+    for version, nbytes in ((0, 236), (1, 260)):
+        m = synth_mp4(1920, 1080, 90000, 90000 * 12 + 345, version=version)
+        assert len(m) == nbytes
+        r = decode_av_meta(m)
+        assert r["media_kind"] == "video/mp4"
+        assert (r["width"], r["height"]) == (1920, 1080)
+        assert r["duration_ms"] == 12003  # floor(units*1000/timescale)
+        assert r["sample_rate"] == -1  # mvhd/tkhd carry no audio fields
+
+
+def test_mp4_largesize_box():
+    # size==1 ⇒ 64-bit largesize header (ISO 14496-12 §4.2): rewrap the
+    # moov box with a largesize header and the walk must still find mvhd
+    m = synth_mp4(640, 360, 600, 1234)
+    ftyp, moov = m[:20], m[20:]
+    body = moov[8:]
+    large = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(body)) + body
+    r = decode_av_meta(ftyp + large)
+    assert (r["width"], r["height"]) == (640, 360)
+    assert r["duration_ms"] == 1234 * 1000 // 600
+
+
+def test_mp4_zero_timescale_degrades():
+    m = synth_mp4(8, 8, 0, 100)
+    assert decode_av_meta(m)["duration_ms"] == -1
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 65535), st.integers(1, 65535),
+       st.sampled_from([600, 1000, 48000, 90000]),
+       st.integers(0, 10**9), st.integers(0, 1))
+def test_mp4_roundtrip_property(w, h, tscale, units, version):
+    r = decode_av_meta(synth_mp4(w, h, tscale, units, version=version))
+    assert (r["width"], r["height"]) == (w, h)
+    assert r["duration_ms"] == units * 1000 // tscale
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+       st.integers(1, 2), st.sampled_from([8, 16]), st.integers(0, 5000))
+def test_wav_roundtrip_property(rate, channels, bits, frames):
+    r = decode_av_meta(synth_wav(rate, channels, bits, frames))
+    assert (r["sample_rate"], r["channels"], r["bit_depth"]) == (
+        rate, channels, bits)
+    assert r["duration_ms"] == frames * 1000 // rate
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 120), st.integers(0, 1))
+def test_av_truncation_never_raises(cut, kind):
+    pay = (synth_wav(44100, 2, 16, 10) if kind == 0
+           else synth_mp4(100, 100, 1000, 999))
+    r = decode_av_meta(pay[:cut])
+    assert set(r) == {"media_kind", "sample_rate", "channels", "bit_depth",
+                      "width", "height", "duration_ms"}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=300))
+def test_av_garbage_never_raises(blob):
+    r = decode_av_meta(blob)
+    assert isinstance(r["duration_ms"], int)
+
+
+def test_av_infinite_loop_guards():
+    # zero-size BMFF box and zero-size RIFF chunk must not hang the walk
+    bad_mp4 = b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00mp41" + b"\x00" * 8
+    assert decode_av_meta(bad_mp4)["width"] == -1
+    bad_wav = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"junk" + struct.pack("<I", 0) + b"\x00" * 40
+    assert decode_av_meta(bad_wav)["sample_rate"] == -1
