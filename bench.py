@@ -274,10 +274,13 @@ def main() -> None:
     # The north_rule's resume/lineage machinery, measured: land 10% new
     # docs through the streaming staging path (micro-batch parse of ONLY
     # the new docs), fold them into a COPY of the built index with
-    # compact_staging (drops + re-derives the index tables, never
-    # re-parses), and compare against a measured full rebuild over the
-    # same 110% corpus. The delta is exactly the 100%-corpus re-parse the
-    # checkpoint structure avoids.
+    # compact_staging (incremental merge: untouched posting groups pass
+    # through byte-identical, never re-parses, never re-encodes the
+    # untouched bulk), and compare against a measured full rebuild over
+    # the same 110% corpus. ingest_sec (the streaming micro-batch parse —
+    # amortized at crawl time in production) and compact_sec (the fold —
+    # the scheduled operation this entry is about) are reported
+    # separately; the ratio compares the fold alone against the rebuild.
     incoming = os.path.join(CACHE_DIR, f"web_pages_incoming_{N_PAGES}.parquet")
     n_new = N_PAGES // 10
     if not os.path.exists(incoming):
@@ -293,7 +296,7 @@ def main() -> None:
 
     import tempfile
 
-    def _compact_incremental() -> float:
+    def _compact_incremental() -> tuple[float, float, dict]:
         from search_engine_spark.streaming.incremental import (
             compact_staging, incremental_index_update,
         )
@@ -309,11 +312,12 @@ def main() -> None:
             spark, in_dir, os.path.join(work, "staging"),
             os.path.join(work, "ckpt"), config=cfg,
         )
-        compact_staging(spark, idx_copy, os.path.join(work, "staging"),
-                        config=cfg)
-        dt = time.time() - t0
+        t1 = time.time()
+        out = compact_staging(spark, idx_copy, os.path.join(work, "staging"),
+                              config=cfg)
+        t2 = time.time()
         shutil.rmtree(work, ignore_errors=True)
-        return dt
+        return t1 - t0, t2 - t1, out
 
     def _full_rebuild() -> float:
         from search_engine_spark.operators.index_build import build_index
@@ -328,11 +332,14 @@ def main() -> None:
         return dt
 
     probe_pre = contention_probe()
-    compact_sec = _compact_incremental()
+    ingest_sec, compact_sec, compact_out = _compact_incremental()
     rebuild_sec = _full_rebuild()
     extra["compaction"] = {
         "incoming_docs": n_new,
+        "ingest_sec": round(ingest_sec, 3),
         "compact_sec": round(compact_sec, 3),
+        "compact_stage_sec": compact_out["stage_sec"],
+        "incremental": compact_out["incremental"],
         "rebuild_sec": round(rebuild_sec, 3),
         "compact_over_rebuild": round(compact_sec / rebuild_sec, 3),
         "probe_pre": probe_pre,

@@ -666,6 +666,268 @@ def derive_index_tables(
         })
     else:
         _check_config_vs_properties(cfg, props)
+    # Stamped LAST: the derived tables now reflect exactly these parsed
+    # batches. A compaction replay compares this stamp against the batch
+    # list to detect tables left half-swapped by a crash (streaming/
+    # incremental.py::compact_staging).
+    cat.set_properties({
+        "derived_from_batches": sorted(map(str,
+                                           cat.completed_batches("parsed"))),
+    })
+    return stage_sec, n_docs, avg_dl
+
+
+#: output column order of the postings table once enc_avgdl rides along
+_POSTING_MERGE_COLS = [
+    "bucket", "term", "local_df", "blob", "block_last", "block_max",
+    "enc_avgdl",
+]
+
+
+def merge_derive_tables(
+    spark: SparkSession, cat: CatalogAdapter, batch_id: str,
+    cfg: EngineConfig,
+) -> tuple[dict, int, float]:
+    """Incremental derive: fold ONE fresh parsed batch into the derived
+    tables without recomputing the untouched bulk.
+
+    Per table:
+
+    - ``corpus_stats`` — fold the increment into the old row (counts and
+      token sums are additive; avg = total/n).
+    - ``doc_stats`` (+ ``doc_stats_topical``) — per-doc rows have no
+      global dependencies, so old rows pass through and only the fresh
+      batch is computed (glove vectors included).
+    - ``postings`` — the (bucket, term) groups that gained no new docs
+      pass through BYTE-IDENTICAL (no decode, no shuffle: a broadcastable
+      anti-join against the fresh group keys); groups present on both
+      sides decode-merge-re-encode; fresh-only groups come straight from
+      the streaming encoder. Correctness under the avg_dl drift this
+      implies: ``block_max`` is a function of the avg_dl at ENCODE time,
+      and the tf-side BM25 factor grows with avg_dl by at most the ratio
+      of the avg_dls, so every row carries ``enc_avgdl`` and the query
+      loader scales the bounds by max(1, avg_dl_now/enc_avgdl)
+      (operators/search.py) — bounds stay upper bounds, WAND stays exact,
+      and untouched rows never need re-encoding.
+    - ``term_stats`` — global df re-aggregates from the merged postings
+      (|vocab|·buckets rows, cheap); the vocabulary quirk fold (capitals
+      AND, entity counts) still scans the full parsed relation — the one
+      remaining full-corpus pass, documented as such.
+
+    Cost shape, honestly: decode+re-encode work is proportional to the
+    posting MASS of the touched groups, not the increment — a hot term's
+    whole list re-encodes when any new doc contains it (doc_id is an url
+    hash, so new ids interleave; a time-monotone doc_id would make every
+    merge a tail-append and the work increment-proportional, at the cost
+    of re-keying the engine's tie-breaks and parity tests). On the dense
+    synthetic vocabulary a 10% increment touches the groups holding most
+    of the mass (measured: 39% of groups, sf0.1), so wall-clock sits near
+    the full re-derive locally; on a Zipf-tailed web vocabulary (1e7-1e8
+    terms, most df<10) the untouched fraction — which passes through with
+    ZERO decode and no shuffle (broadcast anti-join) — dominates, and the
+    fold costs table IO plus the increment's mass.
+
+    All writes are atomic per table (catalog _tmp + rename); the caller
+    commits the ``derived_from_batches`` staleness stamp after the last
+    write. Returns ``(stage_sec, n_docs, avg_dl)`` like
+    ``derive_index_tables``.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, DoubleType, IntegerType, LongType,
+        StringType, StructField, StructType,
+    )
+
+    from search_engine_spark.operators.codec import (
+        decode_posting_list, encode_sorted_postings,
+    )
+
+    stage_sec: dict[str, float] = {}
+    _t = [time.time()]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        stage_sec[name] = round(now - _t[0], 3)
+        _t[0] = now
+
+    fresh = (
+        cat.read_table(spark, "parsed")
+        .filter(F.col("batch") == batch_id)
+        .drop("batch")
+    )
+
+    # ---- corpus_stats: additive fold ---------------------------------------
+    old_stats = cat.read_table(spark, "corpus_stats").collect()[0]
+    old_avg_dl = float(old_stats["avg_doc_length"])
+    inc = fresh.agg(
+        F.count("*").alias("n"), F.sum("doc_length").alias("s")
+    ).collect()[0]
+    n_docs = int(old_stats["n_docs"]) + int(inc["n"])
+    total_tokens = int(old_stats["total_tokens"]) + int(inc["s"] or 0)
+    avg_dl = total_tokens / n_docs
+    cat.write_table(
+        spark.createDataFrame(
+            [(n_docs, float(avg_dl), total_tokens)],
+            "n_docs bigint, avg_doc_length double, total_tokens bigint",
+        ),
+        "corpus_stats",
+    )
+
+    # ---- doc_stats: append-only (per-doc rows, no global deps) -------------
+    fresh_ds = fresh.select(
+        "bucket", "doc_id", "url", "warc_ts", "doc_length", "max_tf",
+        "unique_terms",
+    )
+    if cfg.glove_path:
+        fresh_ds = _with_glove_vec(spark, fresh, cfg)
+    old_ds = cat.read_table(spark, "doc_stats")
+    cat.write_table(
+        old_ds.unionByName(bucket_exchange(fresh_ds, cfg)),
+        "doc_stats", partition_by=["bucket"],
+    )
+    if cfg.topical_terms and cat.has_table("doc_stats_topical"):
+        terms_arr = F.array(*[F.lit(t) for t in cfg.topical_terms])
+        matched = fresh.select(
+            "doc_id",
+            F.explode(
+                F.array_intersect(
+                    F.transform("terms", lambda kv: kv["term"]), terms_arr
+                )
+            ).alias("topic"),
+        )
+        fresh_topical = matched.join(
+            cat.read_table(spark, "doc_stats"), "doc_id"
+        )
+        cat.write_table(
+            cat.read_table(spark, "doc_stats_topical")
+            .unionByName(fresh_topical),
+            "doc_stats_topical", partition_by=["topic"],
+        )
+    _mark("stats")
+
+    # ---- postings: passthrough / merge / fresh-only -------------------------
+    fresh_enc = encode_sorted_postings(
+        sorted_posting_rows(fresh, cfg), cfg, avg_dl
+    ).withColumn("enc_avgdl", F.lit(float(avg_dl)))
+    fresh_enc.persist()
+    try:
+        old_post = cat.read_table(spark, "postings")
+        if "enc_avgdl" not in old_post.columns:
+            # rows from a full (re)build were all encoded at the avg_dl
+            # recorded by that build's corpus_stats
+            old_post = old_post.withColumn("enc_avgdl", F.lit(old_avg_dl))
+        # broadcast the fresh group keys: the blob-carrying old table must
+        # not shuffle just to find out which rows pass through untouched
+        # (at cluster scale AQE demotes this to a shuffled hash join when
+        # the increment outgrows the broadcast threshold)
+        keys = F.broadcast(fresh_enc.select("bucket", "term"))
+        untouched = old_post.join(keys, ["bucket", "term"], "left_anti")
+        pair = (
+            old_post.join(keys, ["bucket", "term"], "left_semi").alias("o")
+            .join(fresh_enc.alias("f"), ["bucket", "term"])
+            .select(
+                "bucket", "term",
+                F.col("o.local_df").alias("old_df"),
+                F.col("o.blob").alias("old_blob"),
+                F.col("f.local_df").alias("new_df"),
+                F.col("f.blob").alias("new_blob"),
+            )
+        )
+        merge_schema = StructType([
+            StructField("bucket", IntegerType(), False),
+            StructField("term", StringType(), False),
+            StructField("local_df", LongType(), False),
+            StructField("blob", BinaryType(), False),
+            StructField("block_last", ArrayType(LongType()), False),
+            StructField("block_max", ArrayType(DoubleType()), False),
+            StructField("enc_avgdl", DoubleType(), False),
+        ])
+        block_size, k, b = cfg.block_size, cfg.bm25_k, cfg.bm25_b
+        enc_avgdl = float(avg_dl)
+
+        def _merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # decode both sides per group, merge-sort by doc_id, then
+            # re-encode the WHOLE batch of groups in one vectorized pass
+            # (_encode_group_batch — the same kernel the build's streaming
+            # encoder uses, so merged blobs are byte-identical to a
+            # from-scratch encode of the same postings)
+            from search_engine_spark.operators.codec import (
+                _encode_group_batch,
+            )
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                g_ids, g_dls, g_tfs = [], [], []
+                for r in pdf.itertuples(index=False):
+                    ids1, dl1, tf1 = decode_posting_list(bytes(r.old_blob))
+                    ids2, dl2, tf2 = decode_posting_list(bytes(r.new_blob))
+                    ids = np.concatenate([ids1, ids2])
+                    order = np.argsort(ids, kind="stable")
+                    g_ids.append(ids[order])
+                    g_dls.append(np.concatenate([dl1, dl2])[order])
+                    g_tfs.append(np.concatenate([tf1, tf2])[order])
+                lens = np.array([len(x) for x in g_ids], np.int64)
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                rb = _encode_group_batch(
+                    pdf["bucket"].to_numpy(), pdf["term"].tolist(),
+                    np.concatenate(g_ids), np.concatenate(g_dls),
+                    np.concatenate(g_tfs), starts, ends,
+                    block_size, enc_avgdl, k, b,
+                )
+                out = rb.to_pandas()
+                out["enc_avgdl"] = enc_avgdl
+                yield out
+
+        merged_both = pair.mapInPandas(_merge, schema=merge_schema)
+        fresh_only = fresh_enc.join(
+            old_post.select("bucket", "term"), ["bucket", "term"],
+            "left_anti",
+        )
+        # the join branches are clustered by join key, not by bucket — a
+        # straight partitionBy("bucket") write would emit one file per
+        # (task, bucket). One bucket exchange re-clusters whole buckets
+        # per task (this is also what re-compacts the table's file count
+        # after repeated incremental folds).
+        cat.write_table(
+            bucket_exchange(
+                untouched.select(*_POSTING_MERGE_COLS)
+                .unionByName(merged_both.select(*_POSTING_MERGE_COLS))
+                .unionByName(fresh_only.select(*_POSTING_MERGE_COLS)),
+                cfg,
+            ).sortWithinPartitions("bucket", "term"),
+            "postings", partition_by=["bucket"],
+            max_records_per_file=cfg.max_records_per_file,
+        )
+    finally:
+        fresh_enc.unpersist()
+    _mark("postings")
+
+    # ---- term_stats: df from merged postings + vocabulary quirks -----------
+    df_from_postings = (
+        cat.read_table(spark, "postings")
+        .groupBy("term")
+        .agg(F.sum("local_df").alias("df"))
+    )
+    vocab = build_vocabulary(
+        cat.read_table(spark, "parsed").drop("batch"),
+        df_raw=df_from_postings,
+    )
+    cat.write_table(
+        vocab.select(F.col("final_term").alias("term"), "df",
+                     F.col("term").alias("source_term")),
+        "term_stats",
+    )
+    _mark("term_stats")
+
+    cat.set_properties({
+        "derived_from_batches": sorted(map(str,
+                                           cat.completed_batches("parsed"))),
+    })
     return stage_sec, n_docs, avg_dl
 
 

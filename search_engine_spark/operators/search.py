@@ -298,7 +298,23 @@ class BM25SearchEngine:
         # matched posting row ships to the scorer ONCE for the whole query
         # batch; the per-bucket scorer fans it out to every query that
         # contains the term (shared decode cache).
-        matched = self.postings.filter(F.col("term").isin(known)).select(
+        matched = self.postings.filter(F.col("term").isin(known))
+        if "enc_avgdl" in matched.columns:
+            # Rows written by an incremental compaction carry the avg_dl
+            # they were ENCODED with; the corpus avg_dl may have drifted
+            # since. The tf-side BM25 factor grows with avg_dl by at most
+            # avg_dl_now/avg_dl_enc, so scaling block_max by
+            # max(1, that ratio) keeps every bound an upper bound (WAND
+            # stays exact) without re-encoding untouched lists
+            # (index_build.merge_derive_tables). Rows encoded at the
+            # current avg_dl scale by exactly 1.0.
+            scale = F.greatest(
+                F.lit(1.0), F.lit(self.avg_dl) / F.col("enc_avgdl")
+            )
+            matched = matched.withColumn(
+                "block_max", F.transform("block_max", lambda x: x * scale)
+            )
+        matched = matched.select(
             "bucket", "term", "blob", "block_last", "block_max"
         )
 

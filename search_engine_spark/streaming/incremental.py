@@ -171,33 +171,41 @@ def compact_staging(
     The scorer requires exactly ONE encoded row per (bucket, term)
     (operators/search.py builds a term→row map per bucket), so appending
     staged postings as extra rows would silently shadow existing lists.
-    Instead, compaction exploits the build's own checkpoint structure:
+    Compaction exploits the build's own checkpoint structure:
 
-    1. drop the derived tables (corpus_stats, doc_stats[_topical],
-       postings, term_stats) — drop-FIRST so that a crash at any later
-       point leaves no stale derived table for a replay to trust;
-    2. append the staged parse rows (minus already-indexed doc_ids —
+    1. append the staged parse rows (minus already-indexed doc_ids —
        idempotence under replay/re-crawl, and minus duplicates WITHIN
        staging from foreachBatch retries or re-crawls of the same url)
        as a new batch of the ``parsed`` table, with lineage in the
        manifest;
-    3. re-run the derive stages (``derive_index_tables``) — two shuffles
-       over the parsed relation; the expensive parse is never recomputed.
+    2. INCREMENTAL derive (``merge_derive_tables``): posting rows whose
+       (bucket, term) group gained no new docs pass through the exchange
+       byte-identical (no decode); only touched groups decode-merge-
+       re-encode; doc_stats appends the fresh rows; corpus_stats folds
+       the increment. The expensive parse is never recomputed, and
+       neither is the untouched bulk of the postings table.
+    3. fall back to the full re-derive (``derive_index_tables`` over the
+       whole parsed relation) when the incremental preconditions fail —
+       a table is missing, or the ``derived_from_batches`` stamp says the
+       derived tables are stale (a previous compaction crashed mid-swap).
+
+    Crash-safety is keep-old-until-swap: every table write is atomic
+    (_tmp + rename) and the ``derived_from_batches`` manifest stamp is
+    committed LAST, so a crash at any point leaves either the complete
+    old derived state or the complete new one plus possibly-newer tables
+    that the stale stamp flags for the replay to rebuild from ``parsed``
+    (which is always complete).
 
     The engine config is reconstructed from the manifest's build-time
     property stamps (stemming, topical_terms, glove, buckets), so
     compacting a stemmed or topical index without the original config
     object cannot silently flip its semantics; an explicitly passed
     ``config`` that contradicts the stamps raises.
-
-    Returns the derive-stage metrics. Crash-safe: a rerun after any step
-    re-appends nothing (batch dedupe + anti-join) and re-derives whatever
-    is missing from the manifest (the drops in step 1 replay as no-ops).
     """
     from pyspark.sql import Window
 
     from search_engine_spark.operators.index_build import (
-        config_from_properties, derive_index_tables,
+        config_from_properties, derive_index_tables, merge_derive_tables,
     )
     from search_engine_spark.sources.catalog import CatalogAdapter
 
@@ -219,25 +227,47 @@ def compact_staging(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .persist()  # evaluated twice: the isEmpty probe and the append
     )
 
     batch_id = "compact-%d" % (
         sum(1 for b in cat.completed_batches("parsed")
             if str(b).startswith("compact-")) + 1
     )
+    derived_tables = ("corpus_stats", "doc_stats", "doc_stats_topical",
+                      "postings", "term_stats")
     if fresh.isEmpty():
-        # replay after a completed compaction: nothing to append; fall
-        # through to re-derive whatever a crash may have left missing
+        # replay after a completed (or crashed) compaction: nothing to
+        # append. If the stale stamp says the derived tables predate the
+        # last parsed append, rebuild them from parsed; otherwise only
+        # re-derive whatever is missing.
         batch_id = None
+        stamp = cat.properties().get("derived_from_batches")
+        if stamp is not None and stamp != sorted(
+            map(str, cat.completed_batches("parsed"))
+        ):
+            for table in derived_tables:
+                cat.drop_table(table)
     else:
-        for table in ("corpus_stats", "doc_stats", "doc_stats_topical",
-                      "postings", "term_stats"):
-            cat.drop_table(table)
         cat.append_batch(fresh, "parsed", batch_id,
                          metrics={"strategy": "stream_compact",
                                   "staging_dir": staging_dir})
+    fresh.unpersist()  # appended (or empty); all later reads go via parsed
 
-    parsed = cat.read_table(spark, "parsed").drop("batch")
-    stage_sec, n_docs, avg_dl = derive_index_tables(spark, cat, parsed, cfg)
+    incremental_ok = (
+        batch_id is not None
+        and all(cat.has_table(t)
+                for t in ("corpus_stats", "doc_stats", "postings",
+                          "term_stats"))
+    )
+    if incremental_ok:
+        stage_sec, n_docs, avg_dl = merge_derive_tables(
+            spark, cat, batch_id, cfg
+        )
+    else:
+        parsed = cat.read_table(spark, "parsed").drop("batch")
+        stage_sec, n_docs, avg_dl = derive_index_tables(spark, cat, parsed,
+                                                        cfg)
     return {"n_docs": int(n_docs), "avg_dl": avg_dl,
-            "batch_id": batch_id, "stage_sec": stage_sec}
+            "batch_id": batch_id, "stage_sec": stage_sec,
+            "incremental": incremental_ok}

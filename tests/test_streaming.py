@@ -125,9 +125,11 @@ def test_compaction_into_main_index(spark, dirs, tmp_path):
         spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
     )
 
-    # 3. compaction folds staging into the main index
+    # 3. compaction folds staging into the main index — via the
+    # incremental merge path (all derived tables present and fresh)
     out = compact_staging(spark, idx, dirs["staging"], cfg)
     assert out["batch_id"] == "compact-1"
+    assert out["incremental"] is True
 
     # reference: from-scratch build over the union corpus
     ref_idx = str(tmp_path / "ref_idx")
@@ -209,9 +211,11 @@ def test_stream_event_counts_to_table(spark, dirs, tmp_path):
 
 def test_compaction_crash_before_derive_replays_safely(spark, dirs, tmp_path,
                                                        monkeypatch):
-    """Drop-first crash-safety: a crash AFTER the parsed append but BEFORE
-    re-derive leaves no stale derived table (they were dropped first), and
-    the replay re-derives the complete index."""
+    """Keep-old-until-swap crash-safety: a crash AFTER the parsed append
+    but BEFORE the incremental merge leaves the OLD derived tables intact
+    (still serving queries) with a stale ``derived_from_batches`` stamp;
+    the replay detects the stale stamp, drops them, and re-derives the
+    complete index from the (always-complete) parsed relation."""
     import pyarrow.parquet as pq
 
     from search_engine_spark.operators import index_build
@@ -237,26 +241,30 @@ def test_compaction_crash_before_derive_replays_safely(spark, dirs, tmp_path,
         spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
     )
 
-    real_derive = index_build.derive_index_tables
+    real_merge = index_build.merge_derive_tables
 
     def boom(*a, **kw):
         raise RuntimeError("simulated crash before derive")
 
-    monkeypatch.setattr(incremental, "derive_index_tables", boom, raising=False)
-    monkeypatch.setattr(index_build, "derive_index_tables", boom)
+    monkeypatch.setattr(index_build, "merge_derive_tables", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         compact_staging(spark, idx, dirs["staging"], cfg)
 
     cat = CatalogAdapter(idx)
-    # drop-first ordering: nothing stale survived the crash
+    # keep-old-until-swap: the pre-compaction tables still serve
     for t in ("postings", "term_stats", "corpus_stats", "doc_stats"):
-        assert not cat.has_table(t), f"stale {t} survived the crash"
-    # the parsed append DID commit — replay must not duplicate it
+        assert cat.has_table(t), f"{t} was mutated before the crash point"
+    # the parsed append DID commit — replay must not duplicate it —
+    # and the staleness stamp now disagrees with the batch list
     assert "compact-1" in cat.completed_batches("parsed")
+    assert cat.properties()["derived_from_batches"] != sorted(
+        map(str, cat.completed_batches("parsed"))
+    )
 
-    monkeypatch.setattr(index_build, "derive_index_tables", real_derive)
+    monkeypatch.setattr(index_build, "merge_derive_tables", real_merge)
     out = compact_staging(spark, idx, dirs["staging"], cfg)
     assert out["batch_id"] is None  # replay appended nothing new
+    assert out["incremental"] is False  # stale stamp → full re-derive
 
     # result equals a from-scratch build over the union corpus
     ref_idx = str(tmp_path / "crash_ref")
@@ -347,3 +355,92 @@ def test_compaction_dedupes_within_staging(spark, dirs, tmp_path):
     parsed = spark.read.parquet(f"{idx}/parsed")
     assert parsed.count() == parsed.select("doc_id").distinct().count()
     assert parsed.count() == base_docs + new_docs
+
+
+def test_compaction_avgdl_drift_keeps_wand_exact(spark, dirs, tmp_path):
+    """Incremental compaction leaves untouched posting rows encoded at the
+    OLD avg_dl. When fresh docs RAISE the corpus avg_dl, the tf-side BM25
+    factor of every old doc rises, so the stored block_max values alone
+    would under-bound — the loader's max(1, avg_dl_now/enc_avgdl) scaling
+    (operators/search.py) must keep WAND pruning exact. Build short docs,
+    compact in docs ~8x longer, and pin WAND == exhaustive on queries that
+    hit untouched terms."""
+    shutil.rmtree(dirs["staging"], ignore_errors=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.search import BM25SearchEngine
+    from search_engine_spark.sources.catalog import CatalogAdapter
+    from search_engine_spark.streaming.incremental import (
+        compact_staging, incremental_index_update,
+    )
+
+    def pages(texts, start):
+        n = len(texts)
+        return pa.table({
+            "url": pa.array(
+                [f"https://drift.example/p{start + i}" for i in range(n)],
+                pa.string()),
+            "warc_ts": pa.array([1_600_000_000_000_000 + i
+                                 for i in range(n)],
+                                pa.timestamp("us", tz="UTC")),
+            "html": pa.array([t.encode() for t in texts], pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        })
+
+    # base: short docs over terms alpha..golf (these stay untouched)
+    base_words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+                  "golf"]
+    base_texts = [
+        " ".join(base_words[i % 7] for _ in range(5 + i % 7)) + " common"
+        for i in range(60)
+    ]
+    # fresh: much longer docs over DIFFERENT terms (plus one shared term so
+    # the merge path runs too) — corpus avg_dl rises ~8x
+    fresh_texts = [
+        " ".join(f"zulu{i % 5}" for _ in range(400)) + " common"
+        for i in range(20)
+    ]
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8,
+                       w_cosine=0.0, w_bm25=1.0, w_glove=0.0)
+    base_path = str(tmp_path / "short.parquet")
+    pq.write_table(pages(base_texts, 0), base_path)
+    pq.write_table(pages(fresh_texts, 1000),
+                   os.path.join(dirs["incoming"], "long.parquet"))
+
+    idx = str(tmp_path / "drift_idx")
+    build_index(spark, spark.read.parquet(base_path), idx, cfg,
+                resume_batches=1)
+    old_avg = float(spark.read.parquet(f"{idx}/corpus_stats")
+                    .collect()[0]["avg_doc_length"])
+
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
+    )
+    out = compact_staging(spark, idx, dirs["staging"], cfg)
+    assert out["incremental"] is True
+    assert out["avg_dl"] > 3 * old_avg  # the drift is material
+
+    # untouched rows still carry the OLD encode-time avg_dl
+    post = spark.read.parquet(CatalogAdapter(idx).table_path("postings"))
+    enc = {r["term"]: r["enc_avgdl"]
+           for r in post.select("term", "enc_avgdl").collect()}
+    assert enc["alpha"] == pytest.approx(old_avg)
+    assert enc["common"] == pytest.approx(out["avg_dl"])  # merged: re-encoded
+
+    # WAND must stay exact on queries over the untouched (under-encoded)
+    # terms — this is precisely where unscaled bounds would prune wrongly
+    engine = BM25SearchEngine(spark, idx, cfg)
+    queries = [(1, "alpha bravo"), (2, "charlie common"),
+               (3, "delta echo foxtrot"), (4, "golf alpha common")]
+    key = lambda r: (r["qid"], r["rank"], r["url"],
+                     round(r["score"], 10))  # noqa: E731
+    exhaustive = sorted(map(key, engine.search_batch(
+        queries, k=10, use_wand=False).collect()))
+    wand = sorted(map(key, engine.search_batch(
+        queries, k=10, use_wand=True).collect()))
+    assert wand == exhaustive
+    assert len(exhaustive) > 0
