@@ -69,6 +69,36 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
+#: side file for the full per-sample probe log; the headline JSON line must
+#: stay compact (round 4 embedded the log in the headline and blew past the
+#: driver's tail-capture window → BENCH_r04.json parsed: null)
+PROBE_LOG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_probes.json")
+
+
+def emit_headline(payload: dict, probe_log: dict,
+                  probe_path: str = PROBE_LOG_PATH) -> None:
+    """Print the headline JSON as the FINAL stdout line, compact.
+
+    The driver captures a bounded tail of stdout and json-parses the last
+    line, so: (1) the full probe log goes to ``probe_path`` + its own
+    stdout line BEFORE the headline, never inside it; (2) the headline
+    carries only per-query clean-sample counts (a few bytes per query).
+    """
+    with open(probe_path, "w") as f:
+        json.dump(probe_log, f, indent=1)
+    print(json.dumps({"metric": "probe_log", "path": probe_path,
+                      "probes": probe_log}))
+    payload.setdefault("extra", {})["clean_samples"] = {
+        name: rec["clean_samples"] for name, rec in probe_log.items()
+    }
+    line = json.dumps(payload)
+    # hard guard: a bloated headline is a delivery failure, fail loudly here
+    # rather than silently handing the driver an unparseable tail
+    assert len(line) < 4000, f"headline line too long ({len(line)} chars)"
+    print(line)
+
+
 def main() -> None:
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.session import get_spark
@@ -110,18 +140,20 @@ def main() -> None:
     MAX_EXTRA_ATTEMPTS = 2
 
     def timed(name, fn, repeats=1):
-        """Record fn's wall — best-of with a contention gate.
+        """Record fn's wall — best-of with a pre+post contention gate.
 
-        Every sample is preceded by the SAME busy-cores+memcpy probe the
-        scaling harness gates on (scripts/bench_scaling.contention_probe):
-        best-of already bounds upward noise (external contention can only
-        inflate a sample, never deflate it), but a round where every probe
-        was contended used to surface as a phantom regression (3 flagged
-        in r3 under loadavg 12 with unchanged plans). Now, if no sample
-        probed clean after ``repeats`` tries, up to MAX_EXTRA_ATTEMPTS
-        more samples hunt for a clean window, and per-query probe
-        readings land in extra["probes"] so a regression flag can be read
-        against the contention evidence."""
+        Every sample is bracketed by the SAME busy-cores+memcpy probe the
+        scaling harness gates on (scripts/bench_scaling.contention_probe)
+        and counts as clean only when BOTH bracket probes pass — a burst
+        that begins mid-sample shows up in the post probe (matches the
+        compaction-section and scaling-harness protocol). best-of already
+        bounds upward noise (external contention can only inflate a
+        sample, never deflate it), but a round where every probe was
+        contended used to surface as a phantom regression (3 flagged in
+        r3 under loadavg 12 with unchanged plans). If no sample probed
+        clean after ``repeats`` tries, up to MAX_EXTRA_ATTEMPTS more
+        samples hunt for a clean window; full per-sample probe readings
+        land in bench_probes.json (NOT the headline line)."""
         best = None
         out = None
         clean_samples = 0
@@ -130,18 +162,20 @@ def main() -> None:
         while attempt < repeats or (
             clean_samples == 0 and attempt < repeats + MAX_EXTRA_ATTEMPTS
         ):
-            probe = contention_probe()
+            pre = contention_probe()
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            post = contention_probe()
             attempt += 1
-            if probe["clean"]:
+            clean = pre["clean"] and post["clean"]
+            if clean:
                 clean_samples += 1
             best = dt if best is None else min(best, dt)
             samples.append(
-                {"sec": round(dt, 3), "clean": probe["clean"],
-                 "busy_cores": probe["busy_cores"],
-                 "memcpy_gbps": probe["memcpy_gbps"]}
+                {"sec": round(dt, 3), "clean": clean,
+                 "busy_cores": [pre["busy_cores"], post["busy_cores"]],
+                 "memcpy_gbps": [pre["memcpy_gbps"], post["memcpy_gbps"]]}
             )
         timings[name] = round(best, 3)
         probe_log[name] = {"clean_samples": clean_samples,
@@ -364,24 +398,22 @@ def main() -> None:
         extra["regressions"] = regressions
         extra["regression_count"] = len(regressions)
 
-    extra["probes"] = probe_log
     try:
         extra["loadavg_end"] = round(os.getloadavg()[0], 2)
     except OSError:
         pass
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_label(SF_DIR),
-                "extra": extra,
-                "cpus": int(CPUS),
-            }
-        )
+    emit_headline(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_label(SF_DIR),
+            "extra": extra,
+            "cpus": int(CPUS),
+        },
+        probe_log,
     )
     spark.stop()
 
