@@ -211,6 +211,22 @@ def compact_staging(
 
     cat = CatalogAdapter(index_path)
     cfg = config_from_properties(cat.properties(), explicit=config)
+
+    # Staleness gate, computed BEFORE this invocation appends anything:
+    # the derived tables are trustworthy only if they absorbed every batch
+    # already in ``parsed``. A crash after a previous append_batch (or mid
+    # merge_derive_tables) leaves the stamp pointing at an older batch
+    # list. If NEW docs were staged before the replay, the empty-staging
+    # branch never runs — so this check must also gate the incremental
+    # path below, or merge_derive_tables would fold compact-2 over tables
+    # that never absorbed compact-1 (possibly half-updated: corpus_stats
+    # folded but postings not) and then re-stamp with the FULL batch list,
+    # permanently masking the gap. A missing stamp is treated as stale:
+    # it means no derive ever completed its final commit.
+    stamp_ok = cat.properties().get("derived_from_batches") == sorted(
+        map(str, cat.completed_batches("parsed"))
+    )
+
     staged = spark.read.parquet(staging_dir)
 
     # read_table (not a direct parquet read) so an Iceberg-routed index
@@ -242,20 +258,23 @@ def compact_staging(
         # last parsed append, rebuild them from parsed; otherwise only
         # re-derive whatever is missing.
         batch_id = None
-        stamp = cat.properties().get("derived_from_batches")
-        if stamp is not None and stamp != sorted(
-            map(str, cat.completed_batches("parsed"))
-        ):
-            for table in derived_tables:
-                cat.drop_table(table)
     else:
         cat.append_batch(fresh, "parsed", batch_id,
                          metrics={"strategy": "stream_compact",
                                   "staging_dir": staging_dir})
     fresh.unpersist()  # appended (or empty); all later reads go via parsed
 
+    if not stamp_ok:
+        # stale (or never-committed) stamp: the derived tables may be
+        # internally inconsistent — drop them so the fallback re-derives
+        # the complete index from ``parsed`` (always complete, including
+        # the batch just appended)
+        for table in derived_tables:
+            cat.drop_table(table)
+
     incremental_ok = (
         batch_id is not None
+        and stamp_ok
         and all(cat.has_table(t)
                 for t in ("corpus_stats", "doc_stats", "postings",
                           "term_stats"))

@@ -278,6 +278,83 @@ def test_compaction_crash_before_derive_replays_safely(spark, dirs, tmp_path,
     assert ts_a == ts_b
 
 
+def test_crash_then_new_docs_staged_forces_full_rederive(spark, dirs,
+                                                         tmp_path,
+                                                         monkeypatch):
+    """The staleness stamp must gate the NON-empty staging branch too.
+
+    Scenario (ADVICE round 4, high): a compaction crashes AFTER its
+    parsed append (compact-1 committed, derived tables never absorbed
+    it), then NEW docs are staged BEFORE the replay runs. The replay's
+    staging is non-empty, so the empty-branch stale check never fires;
+    without the pre-append stamp gate the replay would append compact-2
+    and take the incremental path over derived tables missing compact-1,
+    then re-stamp with the full batch list — silently losing compact-1's
+    docs from the index forever. The gate must force the full re-derive
+    instead, and the result must equal a from-scratch build."""
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.operators import index_build
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.catalog import CatalogAdapter
+    from search_engine_spark.sources.fixtures import generate_web_pages
+    from search_engine_spark.streaming.incremental import (
+        compact_staging, incremental_index_update,
+    )
+
+    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    full = generate_web_pages(300)
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(full.slice(0, 180), base_path)
+    pq.write_table(full.slice(180, 60),
+                   os.path.join(dirs["incoming"], "wave1.parquet"))
+
+    idx = str(tmp_path / "crash2_idx")
+    build_index(spark, spark.read.parquet(base_path), idx, cfg,
+                resume_batches=1)
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
+    )
+
+    real_merge = index_build.merge_derive_tables
+    monkeypatch.setattr(
+        index_build, "merge_derive_tables",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            RuntimeError("simulated crash before derive")),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_staging(spark, idx, dirs["staging"], cfg)
+    monkeypatch.setattr(index_build, "merge_derive_tables", real_merge)
+
+    # NEW docs land in staging before the replay — the non-empty branch
+    pq.write_table(full.slice(240, 60),
+                   os.path.join(dirs["incoming"], "wave2.parquet"))
+    incremental_index_update(
+        spark, dirs["incoming"], dirs["staging"], dirs["checkpoint"], cfg
+    )
+
+    out = compact_staging(spark, idx, dirs["staging"], cfg)
+    assert out["batch_id"] == "compact-2"  # the new docs did append
+    assert out["incremental"] is False  # stale stamp → full re-derive
+
+    cat = CatalogAdapter(idx)
+    assert cat.properties()["derived_from_batches"] == sorted(
+        map(str, cat.completed_batches("parsed"))
+    )
+
+    # the index now equals a from-scratch build over ALL 300 docs —
+    # including compact-1's docs the buggy path would have dropped
+    ref_idx = str(tmp_path / "crash2_ref")
+    all_path = str(tmp_path / "all.parquet")
+    pq.write_table(full, all_path)
+    build_index(spark, spark.read.parquet(all_path), ref_idx, cfg,
+                resume_batches=1)
+    ts_a = sorted(map(tuple, spark.read.parquet(f"{idx}/term_stats").collect()))
+    ts_b = sorted(map(tuple,
+                      spark.read.parquet(f"{ref_idx}/term_stats").collect()))
+    assert ts_a == ts_b
+
+
 def test_compaction_adopts_stamped_config(spark, dirs, tmp_path):
     """Compacting WITHOUT the original config must adopt the build-time
     stamps (stemming mode preserved); a contradicting explicit config
