@@ -225,6 +225,125 @@ def decode_posting_list(
     )
 
 
+def append_posting_blob(
+    old_blob: bytes,
+    old_block_last: np.ndarray,
+    old_block_max: np.ndarray,
+    new_ids: np.ndarray,
+    new_dls: np.ndarray,
+    new_tfs: np.ndarray,
+    block_size: int,
+    avg_dl: float,
+    k: float = 1.2,
+    b: float = 0.75,
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Tail-append new postings to an encoded blob WITHOUT decoding its bulk.
+
+    Precondition (monotone doc_id mode, EngineConfig.doc_id_mode): every
+    ``new_ids`` value exceeds the blob's last doc id — asserted against
+    ``old_block_last[-1]``. Because every block restarts with an absolute
+    first value, the old blob's full blocks are byte-reusable as-is: only
+    its final PARTIAL block (< block_size postings) is decoded, merged with
+    the new postings, and re-encoded as the tail; the prefix is a
+    header-adjusted memcpy. Work is O(block_size + len(new_ids)) regardless
+    of how long the existing list is — this is what makes incremental
+    compaction increment-proportional for hot terms.
+
+    Splicing at a block boundary reproduces the exact block layout a
+    from-scratch encode of the concatenated list would produce, so (at
+    equal ``avg_dl``) the result is BYTE-IDENTICAL to
+    ``encode_posting_list(concat(...))`` — pinned by
+    tests/test_codec_append.py. The caller keeps the old row's
+    ``enc_avgdl`` bookkeeping: prefix block_max values were computed at the
+    OLD encode-time avg_dl, tail values at ``avg_dl``, so the merged row's
+    enc_avgdl must be min(old_enc_avgdl, avg_dl) for the query-side
+    max(1, avg_dl_now/enc_avgdl) scaling to remain an upper bound for every
+    block.
+
+    Returns (blob, block_last, block_max) like ``encode_posting_list``.
+    """
+    hdr = np.frombuffer(old_blob, _HDR, count=6)
+    n1, bs, nb1 = int(hdr[0]), int(hdr[1]), int(hdr[2])
+    if bs != block_size:
+        raise ValueError(f"block_size mismatch: blob={bs} config={block_size}")
+    if int(old_block_last[-1]) >= int(new_ids[0]):
+        raise ValueError(
+            "append_posting_blob precondition violated: new doc ids must "
+            f"all exceed the blob's last id ({int(old_block_last[-1])} >= "
+            f"{int(new_ids[0])}) — not a monotone-id index?"
+        )
+    lens = hdr[3:6].astype(np.int64)
+    offs = np.frombuffer(old_blob, _HDR, count=3 * nb1, offset=24
+                         ).reshape(3, nb1)
+    streams_at = 24 + 4 * 3 * nb1
+    stream_start = streams_at + np.concatenate(([0], np.cumsum(lens)))[:3]
+
+    # prefix = the old blob's FULL blocks; a partial final block re-encodes
+    # together with the new postings so every merged block except the last
+    # stays exactly block_size long (the decoder's implicit-length layout)
+    tail_old = n1 % bs
+    P = nb1 - 1 if tail_old else nb1
+    if P:
+        cut = np.array([offs[s, P] if P < nb1 else lens[s] for s in range(3)],
+                       np.int64)
+    else:
+        cut = np.zeros(3, np.int64)
+    prefix = [
+        old_blob[int(stream_start[s]):int(stream_start[s] + cut[s])]
+        for s in range(3)
+    ]
+
+    if tail_old:
+        bids, bdls, btfs = decode_posting_list(old_blob, blocks=np.array([P]))
+        t_ids = np.concatenate([bids, new_ids.astype(np.int64)])
+        t_dls = np.concatenate([bdls, new_dls.astype(np.int64)])
+        t_tfs = np.concatenate([btfs, new_tfs.astype(np.int64)])
+    else:
+        t_ids = new_ids.astype(np.int64)
+        t_dls = new_dls.astype(np.int64)
+        t_tfs = new_tfs.astype(np.int64)
+    # idf=1.0: stored block_max is idf-free (CODEC_FORMAT_VERSION 2)
+    t_blob, t_last, t_max = encode_posting_list(
+        t_ids, t_dls, t_tfs, bs, 1.0, avg_dl, k, b
+    )
+
+    t_hdr = np.frombuffer(t_blob, _HDR, count=6)
+    nbt = int(t_hdr[2])
+    t_lens = t_hdr[3:6].astype(np.int64)
+    t_offs = np.frombuffer(t_blob, _HDR, count=3 * nbt, offset=24
+                           ).reshape(3, nbt)
+    t_streams_at = 24 + 4 * 3 * nbt
+    t_stream_start = t_streams_at + np.concatenate(
+        ([0], np.cumsum(t_lens)))[:3]
+    tail = [
+        t_blob[int(t_stream_start[s]):int(t_stream_start[s] + t_lens[s])]
+        for s in range(3)
+    ]
+
+    nb = P + nbt
+    header = np.array(
+        [n1 + len(new_ids), bs, nb,
+         cut[0] + t_lens[0], cut[1] + t_lens[1], cut[2] + t_lens[2]],
+        dtype=_HDR,
+    )
+    merged_offs = np.empty((3, nb), _HDR)
+    for s in range(3):
+        merged_offs[s, :P] = offs[s, :P]
+        merged_offs[s, P:] = t_offs[s] + cut[s]
+    blob = (
+        header.tobytes()
+        + merged_offs.tobytes()
+        + prefix[0] + tail[0]
+        + prefix[1] + tail[1]
+        + prefix[2] + tail[2]
+    )
+    block_last = np.concatenate(
+        [np.asarray(old_block_last, np.int64)[:P], t_last])
+    block_max = np.concatenate(
+        [np.asarray(old_block_max, np.float64)[:P], t_max])
+    return blob, block_last, block_max
+
+
 # ---------------------------------------------------------------------------
 # DataFrame-level encoder (used by the index build)
 # ---------------------------------------------------------------------------

@@ -501,13 +501,17 @@ def build_index(
             pages.schema,
         )
         done = set(cat.completed_batches("parsed"))
-        for batch_id, subset, lineage in plan:
+        # batch_seq is the POSITIONAL index in the (deterministic) plan, so
+        # a resumed monotone-mode build re-assigns the same id ranges to the
+        # same batches it would have gotten in one pass
+        for batch_seq, (batch_id, subset, lineage) in enumerate(plan):
             if batch_id in done:
                 continue
             if scan_par < target_par:
                 subset = subset.repartition(target_par)
             cat.append_batch(
-                parse_corpus(subset, cfg), "parsed", batch_id, metrics=lineage
+                parse_corpus(subset, cfg, batch_seq=batch_seq),
+                "parsed", batch_id, metrics=lineage,
             )
         cat.finalize_batched_table("parsed")
     # Read-side parallelism for the staged table comes from split sizing
@@ -663,6 +667,7 @@ def derive_index_tables(
             "glove_path": cfg.glove_path,
             "glove_dim": cfg.glove_dim,
             "num_buckets": cfg.num_buckets,
+            "doc_id_mode": cfg.doc_id_mode,
         })
     else:
         _check_config_vs_properties(cfg, props)
@@ -832,6 +837,9 @@ def merge_derive_tables(
                 "bucket", "term",
                 F.col("o.local_df").alias("old_df"),
                 F.col("o.blob").alias("old_blob"),
+                F.col("o.block_last").alias("old_last"),
+                F.col("o.block_max").alias("old_max"),
+                F.col("o.enc_avgdl").alias("old_enc"),
                 F.col("f.local_df").alias("new_df"),
                 F.col("f.blob").alias("new_blob"),
             )
@@ -847,41 +855,85 @@ def merge_derive_tables(
         ])
         block_size, k, b = cfg.block_size, cfg.bm25_k, cfg.bm25_b
         enc_avgdl = float(avg_dl)
+        monotone = cfg.doc_id_mode == "monotone"
 
         def _merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # decode both sides per group, merge-sort by doc_id, then
-            # re-encode the WHOLE batch of groups in one vectorized pass
-            # (_encode_group_batch — the same kernel the build's streaming
-            # encoder uses, so merged blobs are byte-identical to a
-            # from-scratch encode of the same postings)
+            # Two merge kernels, routed per group:
+            #
+            # - splice (monotone ids, multi-block old list): tail-append via
+            #   codec.append_posting_blob — the old bulk is a header-adjusted
+            #   memcpy, only its final partial block decodes; work is
+            #   O(block_size + increment) no matter how hot the term. This is
+            #   the path that makes compaction increment-proportional (hash
+            #   ids interleave, so they can never take it).
+            # - full re-encode (hash mode, or old fits in one block so a
+            #   splice would decode everything anyway): decode both sides,
+            #   merge-sort by doc_id, re-encode the WHOLE batch of groups in
+            #   one vectorized pass (_encode_group_batch — the same kernel
+            #   the build's streaming encoder uses, so merged blobs are
+            #   byte-identical to a from-scratch encode of the same
+            #   postings).
             from search_engine_spark.operators.codec import (
-                _encode_group_batch,
+                _encode_group_batch, append_posting_blob,
             )
 
             for pdf in batches:
                 if not len(pdf):
                     continue
-                g_ids, g_dls, g_tfs = [], [], []
-                for r in pdf.itertuples(index=False):
-                    ids1, dl1, tf1 = decode_posting_list(bytes(r.old_blob))
-                    ids2, dl2, tf2 = decode_posting_list(bytes(r.new_blob))
-                    ids = np.concatenate([ids1, ids2])
-                    order = np.argsort(ids, kind="stable")
-                    g_ids.append(ids[order])
-                    g_dls.append(np.concatenate([dl1, dl2])[order])
-                    g_tfs.append(np.concatenate([tf1, tf2])[order])
-                lens = np.array([len(x) for x in g_ids], np.int64)
-                ends = np.cumsum(lens)
-                starts = ends - lens
-                rb = _encode_group_batch(
-                    pdf["bucket"].to_numpy(), pdf["term"].tolist(),
-                    np.concatenate(g_ids), np.concatenate(g_dls),
-                    np.concatenate(g_tfs), starts, ends,
-                    block_size, enc_avgdl, k, b,
-                )
-                out = rb.to_pandas()
-                out["enc_avgdl"] = enc_avgdl
-                yield out
+                if monotone:
+                    multi = pdf["old_last"].map(len) > 1
+                    big, small = pdf[multi], pdf[~multi]
+                else:
+                    big, small = pdf.iloc[0:0], pdf
+                parts = []
+                if len(small):
+                    g_ids, g_dls, g_tfs = [], [], []
+                    for r in small.itertuples(index=False):
+                        ids1, dl1, tf1 = decode_posting_list(bytes(r.old_blob))
+                        ids2, dl2, tf2 = decode_posting_list(bytes(r.new_blob))
+                        ids = np.concatenate([ids1, ids2])
+                        order = np.argsort(ids, kind="stable")
+                        g_ids.append(ids[order])
+                        g_dls.append(np.concatenate([dl1, dl2])[order])
+                        g_tfs.append(np.concatenate([tf1, tf2])[order])
+                    lens = np.array([len(x) for x in g_ids], np.int64)
+                    ends = np.cumsum(lens)
+                    starts = ends - lens
+                    rb = _encode_group_batch(
+                        small["bucket"].to_numpy(), small["term"].tolist(),
+                        np.concatenate(g_ids), np.concatenate(g_dls),
+                        np.concatenate(g_tfs), starts, ends,
+                        block_size, enc_avgdl, k, b,
+                    )
+                    out = rb.to_pandas()
+                    out["enc_avgdl"] = enc_avgdl
+                    parts.append(out)
+                if len(big):
+                    rows: dict = {c: [] for c in (
+                        "bucket", "term", "local_df", "blob", "block_last",
+                        "block_max", "enc_avgdl")}
+                    for r in big.itertuples(index=False):
+                        ids2, dl2, tf2 = decode_posting_list(bytes(r.new_blob))
+                        blob, last, bmax = append_posting_blob(
+                            bytes(r.old_blob),
+                            np.asarray(r.old_last, np.int64),
+                            np.asarray(r.old_max, np.float64),
+                            ids2, dl2, tf2, block_size, enc_avgdl, k, b,
+                        )
+                        rows["bucket"].append(r.bucket)
+                        rows["term"].append(r.term)
+                        rows["local_df"].append(int(r.old_df) + int(r.new_df))
+                        rows["blob"].append(blob)
+                        rows["block_last"].append(last)
+                        rows["block_max"].append(bmax)
+                        # prefix bounds were computed at the OLD avg_dl, the
+                        # tail at the new one — min keeps the query-side
+                        # max(1, avg_dl_now/enc_avgdl) scaling an upper
+                        # bound for every block
+                        rows["enc_avgdl"].append(
+                            min(float(r.old_enc), enc_avgdl))
+                    parts.append(pd.DataFrame(rows))
+                yield pd.concat(parts, ignore_index=True)
 
         merged_both = pair.mapInPandas(_merge, schema=merge_schema)
         fresh_only = fresh_enc.join(
@@ -940,6 +992,7 @@ def _check_config_vs_properties(cfg: EngineConfig, props: dict) -> None:
         ("glove_path", cfg.glove_path),
         ("glove_dim", cfg.glove_dim),
         ("num_buckets", cfg.num_buckets),
+        ("doc_id_mode", cfg.doc_id_mode),
     ):
         if key in props and props[key] != val:
             mismatches.append(f"{key}: index={props[key]!r} config={val!r}")
@@ -972,4 +1025,5 @@ def config_from_properties(
         glove_path=props.get("glove_path", defaults.glove_path),
         glove_dim=int(props.get("glove_dim", defaults.glove_dim)),
         num_buckets=int(props.get("num_buckets", defaults.num_buckets)),
+        doc_id_mode=str(props.get("doc_id_mode", defaults.doc_id_mode)),
     )

@@ -229,22 +229,42 @@ def compact_staging(
 
     staged = spark.read.parquet(staging_dir)
 
+    # Doc identity key: in hash mode doc_id IS the url hash, so id equality
+    # = url equality; in monotone mode ids are batch-sequential, so re-crawl
+    # dedup must join on the url itself (staging ids are provisional and
+    # re-assigned below).
+    key = "url" if cfg.doc_id_mode == "monotone" else "doc_id"
     # read_table (not a direct parquet read) so an Iceberg-routed index
     # compacts the table it actually wrote (catalog dispatches on ident)
-    existing = cat.read_table(spark, "parsed").select("doc_id")
-    # latest-wins within staging: the same doc_id can appear twice in the
+    existing = cat.read_table(spark, "parsed").select(key)
+    # latest-wins within staging: the same doc can appear twice in the
     # staging dir (foreachBatch retry re-appending after a partial write,
     # or the same url crawled twice before compaction ran)
-    w = Window.partitionBy("doc_id").orderBy(
+    w = Window.partitionBy(key).orderBy(
         F.col("warc_ts").desc_nulls_last(), F.col("url")
     )
     fresh = (
-        staged.join(existing, "doc_id", "left_anti")
+        staged.join(existing, key, "left_anti")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .persist()  # evaluated twice: the isEmpty probe and the append
     )
+    if cfg.doc_id_mode == "monotone":
+        # staging ids were assigned with a provisional batch_seq by the
+        # micro-batch parse; re-assign from the NEXT free 2^48 slot above
+        # everything already in parsed so the merge stays a tail-append
+        # (max() is a cheap parquet-stats agg on a long column)
+        from search_engine_spark.operators.parse import (
+            DOC_ID_BATCH_SHIFT, assign_doc_ids,
+        )
+
+        max_id = (
+            cat.read_table(spark, "parsed")
+            .agg(F.max("doc_id")).collect()[0][0]
+        )
+        next_seq = (int(max_id) >> DOC_ID_BATCH_SHIFT) + 1
+        fresh = assign_doc_ids(fresh.drop("doc_id", "bucket"), cfg, next_seq)
+    fresh = fresh.persist()  # evaluated twice: the isEmpty probe + append
 
     batch_id = "compact-%d" % (
         sum(1 for b in cat.completed_batches("parsed")
