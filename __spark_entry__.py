@@ -42,6 +42,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se_postings": textstats.q_postings,                # A7
         "se_capitals": textstats.q_capitals,                # A5/M7
         "se_entities": textstats.q_entities,                # P9/A4
+        # non-vacuous siblings: same aggs over documents + an inline
+        # fixture that survives the AND-fold / multi-word entity extraction
+        # (the all-lowercase synthetic corpus yields 0 rows above)
+        "se_capitals_nonvacuous": textstats.q_capitals_nonvacuous,
+        "se_entities_nonvacuous": textstats.q_entities_nonvacuous,
         "se_bm25_topk": bm25_sql.bm25_topk,                 # Q1/Q2/Q4/Q8/M9
         "se_minmatch": bm25_sql.minmatch_candidates,        # Q4/A8
         # --- dedup family ---------------------------------------------------
@@ -95,6 +100,8 @@ def oracle_sql() -> dict[str, str]:
         "se_postings": textstats.SQL_POSTINGS,
         "se_capitals": textstats.SQL_CAPITALS,
         "se_entities": textstats.SQL_ENTITIES,
+        "se_capitals_nonvacuous": textstats.SQL_CAPITALS_NONVACUOUS,
+        "se_entities_nonvacuous": textstats.SQL_ENTITIES_NONVACUOUS,
         "se_bm25_topk": bm25_sql.sql_bm25_topk(),
         "se_minmatch": bm25_sql.sql_minmatch_candidates(),
         "dedup_exact": dedup.SQL_DEDUP_EXACT,

@@ -103,17 +103,13 @@ def bucket_exchange(df: DataFrame, config: EngineConfig) -> DataFrame:
 
     Parallelism note: whole-bucket placement caps this exchange's useful
     parallelism at ``num_buckets`` — with num_buckets < shuffle_partitions
-    the excess partitions stay empty. That cap is NOT an accident: the
-    shuffle moves slim doc rows (terms still packed in an array, ~4× fewer
-    bytes than posting rows) and the term column only exists after the
-    post-exchange explode, so there is nothing finer than ``bucket`` to
-    partition on; splitting a bucket by doc range instead would split its
-    (bucket, term) posting groups across partitions and emit multiple
-    encoded rows per (bucket, term) — violating the scorer's
-    one-row-per-(bucket, term) invariant (operators/search.py). Size
-    ``num_buckets >= shuffle_partitions`` for full posting-stage
-    parallelism (build_index warns when undersized; at 100 TB scale
-    num_buckets ≈ n_docs/2M ≫ cores, so the cap never binds there).
+    the excess partitions stay empty. That is inherent for frames where the
+    term column is still packed inside the ``terms`` array (nothing finer
+    than ``bucket`` exists to partition on); callers whose rows DO carry a
+    term column fall back to (bucket, term) hash partitioning when
+    undersized instead — see ``sorted_posting_rows`` and
+    ``encoded_rows_exchange``. At 100 TB scale num_buckets ≈ n_docs/2M ≫
+    cores, so the cap never binds there.
     """
     keys = _bucket_partition_keys(
         config.num_buckets, config.shuffle_partitions
@@ -123,6 +119,19 @@ def bucket_exchange(df: DataFrame, config: EngineConfig) -> DataFrame:
         F.col("bucket").cast("int") + 1,
     )
     return df.repartition(config.shuffle_partitions, keycol)
+
+
+def encoded_rows_exchange(df: DataFrame, config: EngineConfig) -> DataFrame:
+    """Exchange rows that carry a ``term`` column (encoded posting rows).
+
+    Whole-bucket placement when the bucket count can use every partition;
+    (bucket, term) hash partitioning otherwise — each (bucket, term) group
+    still lands wholly in one partition (the scorer's one-row-per-group
+    invariant), but the exchange uses ALL partitions at any bucket count.
+    """
+    if config.num_buckets < config.shuffle_partitions:
+        return df.repartition(config.shuffle_partitions, "bucket", "term")
+    return bucket_exchange(df, config)
 
 
 def _explode_terms(parsed: DataFrame) -> DataFrame:
@@ -165,6 +174,21 @@ def sorted_posting_rows(parsed: DataFrame, config: EngineConfig) -> DataFrame:
     range-sampling pass. No collect_list buffers, no wide-row
     materialization — the downstream encoder streams over the sorted rows.
     """
+    if config.num_buckets < config.shuffle_partitions:
+        # Undersized-buckets fallback (small local configs; at 100 TB
+        # num_buckets ≫ cores and this branch never runs): whole-bucket
+        # placement would cap the sort stage at num_buckets tasks, so
+        # explode FIRST and hash-partition on (bucket, term) — every
+        # (bucket, term) posting group still lands wholly in one partition
+        # (the scorer's one-row-per-group invariant holds, blobs are
+        # byte-identical), but groups spread across ALL partitions. Costs
+        # the fat posting-row shuffle the slim path avoids — the price of
+        # full parallelism when the bucket count can't provide it.
+        rows = _explode_terms(parsed)
+        return (
+            rows.repartition(config.shuffle_partitions, "bucket", "term")
+            .sortWithinPartitions("bucket", "term", "doc_id")
+        )
     slim = parsed.select("bucket", "doc_id", "doc_length", "terms")
     return (
         _explode_terms(bucket_exchange(slim, config))
@@ -172,7 +196,34 @@ def sorted_posting_rows(parsed: DataFrame, config: EngineConfig) -> DataFrame:
     )
 
 
-def build_vocabulary(parsed: DataFrame, df_raw: DataFrame | None = None) -> DataFrame:
+def capitals_state(parsed: DataFrame) -> DataFrame:
+    """A5 raw state: bool AND across docs of the per-doc capital flag
+    (min ≡ AND). Associative — two corpora's states fold with another min,
+    which is what lets incremental compaction skip the full parsed scan."""
+    return (
+        parsed.select(F.explode("capitals").alias("kv"))
+        .select(F.col("kv.term").alias("term"), F.col("kv.cap").alias("cap"))
+        .groupBy("term")
+        .agg(F.min("cap").alias("always_cap"))
+    )
+
+
+def entity_state(parsed: DataFrame) -> DataFrame:
+    """A4 raw state: per-doc-distinct entity counts (entities is a set per
+    doc). Additive across corpora."""
+    return (
+        parsed.select(F.explode("entities").alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("entity_count"))
+    )
+
+
+def build_vocabulary(
+    parsed: DataFrame | None,
+    df_raw: DataFrame | None = None,
+    capitals: DataFrame | None = None,
+    entity_counts: DataFrame | None = None,
+) -> DataFrame:
     """Vocabulary with final (possibly uppercased) term and global df.
 
     Returns (term, final_term, df) for surviving terms only. ``df_raw``
@@ -180,27 +231,20 @@ def build_vocabulary(parsed: DataFrame, df_raw: DataFrame | None = None) -> Data
     — ``sum(local_df)`` over the per-(bucket, term) rows, a |vocab|·buckets
     aggregation instead of re-exploding and re-shuffling the full
     (doc, term) relation a second time. Falls back to the explode when no
-    postings are available (direct callers / tests).
+    postings are available (direct callers / tests). ``capitals`` /
+    ``entity_counts`` likewise default to aggregating ``parsed`` but can be
+    supplied pre-folded (incremental compaction folds the persisted
+    ``vocab_capitals`` / ``vocab_entities`` state with the fresh batch's
+    aggregate instead of re-scanning the corpus).
     """
     if df_raw is None:
         df_raw = _explode_terms(parsed).groupBy("term").agg(
             F.count("*").alias("df")
         )
-
-    # A5: bool AND across docs of the per-doc capital flag (min ≡ AND)
-    capitals = (
-        parsed.select(F.explode("capitals").alias("kv"))
-        .select(F.col("kv.term").alias("term"), F.col("kv.cap").alias("cap"))
-        .groupBy("term")
-        .agg(F.min("cap").alias("always_cap"))
-    )
-
-    # A4: per-doc-distinct entity counts (entities is a set per doc)
-    entity_counts = (
-        parsed.select(F.explode("entities").alias("entity"))
-        .groupBy("entity")
-        .agg(F.count("*").alias("entity_count"))
-    )
+    if capitals is None:
+        capitals = capitals_state(parsed)
+    if entity_counts is None:
+        entity_counts = entity_state(parsed)
 
     vocab = (
         df_raw
@@ -465,16 +509,6 @@ def build_index(
     (bucket, term) for postings and one small groupBy(term) for stats.
     """
     cfg = config or EngineConfig()
-    if cfg.num_buckets < cfg.shuffle_partitions:
-        import warnings
-
-        warnings.warn(
-            f"num_buckets={cfg.num_buckets} < shuffle_partitions="
-            f"{cfg.shuffle_partitions}: the posting-sort stage's parallelism "
-            "is capped at num_buckets (whole-bucket placement — see "
-            "bucket_exchange); size num_buckets >= shuffle_partitions",
-            stacklevel=2,
-        )
     cat = CatalogAdapter(index_path)
     t0 = time.time()
 
@@ -635,13 +669,25 @@ def derive_index_tables(
     # Global df rides the encoded postings (sum of per-(bucket, term)
     # local_df — a |vocab|·buckets-row aggregation) instead of a second
     # full explode+shuffle of the (doc, term) relation.
+    # The raw A4/A5 per-term states are persisted alongside term_stats so
+    # incremental compaction can FOLD a fresh batch into them (min / sum)
+    # instead of re-scanning the whole parsed relation for the vocabulary
+    # quirks — the last full-corpus pass the merge path had.
+    if not cat.has_table("vocab_capitals"):
+        cat.write_table(capitals_state(parsed), "vocab_capitals")
+    if not cat.has_table("vocab_entities"):
+        cat.write_table(entity_state(parsed), "vocab_entities")
     if not cat.has_table("term_stats"):
         df_from_postings = (
             cat.read_table(spark, "postings")
             .groupBy("term")
             .agg(F.sum("local_df").alias("df"))
         )
-        vocab = build_vocabulary(parsed, df_raw=df_from_postings)
+        vocab = build_vocabulary(
+            parsed, df_raw=df_from_postings,
+            capitals=cat.read_table(spark, "vocab_capitals"),
+            entity_counts=cat.read_table(spark, "vocab_entities"),
+        )
         cat.write_table(
             vocab.select(F.col("final_term").alias("term"), "df",
                          F.col("term").alias("source_term")),
@@ -940,18 +986,23 @@ def merge_derive_tables(
             old_post.select("bucket", "term"), ["bucket", "term"],
             "left_anti",
         )
-        # the join branches are clustered by join key, not by bucket — a
-        # straight partitionBy("bucket") write would emit one file per
-        # (task, bucket). One bucket exchange re-clusters whole buckets
-        # per task (this is also what re-compacts the table's file count
-        # after repeated incremental folds).
+        # Only the CHANGED rows exchange: merged/fresh-only rows come out
+        # clustered by join key, so they take one increment-sized bucket
+        # exchange + sort. The untouched bulk is read from a table already
+        # partitioned by bucket dirs and term-sorted within files — it flows
+        # scan → broadcast anti-join → write with NO shuffle and no sort
+        # (the blob bytes never leave the task that read them). Cost: the
+        # table's file count grows by ~(changed tasks) per fold instead of
+        # being re-packed; a periodic full rebuild (or any full re-derive)
+        # re-compacts it. At 100 TB this is the difference between shuffling
+        # the whole postings table per fold and shuffling the increment.
+        changed = encoded_rows_exchange(
+            merged_both.select(*_POSTING_MERGE_COLS)
+            .unionByName(fresh_only.select(*_POSTING_MERGE_COLS)),
+            cfg,
+        ).sortWithinPartitions("bucket", "term")
         cat.write_table(
-            bucket_exchange(
-                untouched.select(*_POSTING_MERGE_COLS)
-                .unionByName(merged_both.select(*_POSTING_MERGE_COLS))
-                .unionByName(fresh_only.select(*_POSTING_MERGE_COLS)),
-                cfg,
-            ).sortWithinPartitions("bucket", "term"),
+            untouched.select(*_POSTING_MERGE_COLS).unionByName(changed),
             "postings", partition_by=["bucket"],
             max_records_per_file=cfg.max_records_per_file,
         )
@@ -959,15 +1010,45 @@ def merge_derive_tables(
         fresh_enc.unpersist()
     _mark("postings")
 
-    # ---- term_stats: df from merged postings + vocabulary quirks -----------
+    # ---- term_stats: df from merged postings + FOLDED vocabulary state -----
+    # The A4/A5 quirk states fold associatively (min / sum), so the merge
+    # never re-scans the full parsed relation: old state (persisted at
+    # build time) outer-joins the fresh batch's aggregate. df still
+    # re-aggregates from the merged postings — a two-column columnar scan
+    # of (term, local_df), no blob bytes read.
+    caps_new = (
+        cat.read_table(spark, "vocab_capitals").alias("o")
+        .join(capitals_state(fresh).alias("f"), "term", "full_outer")
+        .select(
+            "term",
+            F.least(
+                F.coalesce(F.col("o.always_cap"), F.lit(True)),
+                F.coalesce(F.col("f.always_cap"), F.lit(True)),
+            ).alias("always_cap"),
+        )
+    )
+    ents_new = (
+        cat.read_table(spark, "vocab_entities").alias("o")
+        .join(entity_state(fresh).alias("f"), "entity", "full_outer")
+        .select(
+            "entity",
+            (F.coalesce(F.col("o.entity_count"), F.lit(0))
+             + F.coalesce(F.col("f.entity_count"), F.lit(0))
+             ).alias("entity_count"),
+        )
+    )
+    cat.write_table(caps_new, "vocab_capitals")
+    cat.write_table(ents_new, "vocab_entities")
     df_from_postings = (
         cat.read_table(spark, "postings")
         .groupBy("term")
         .agg(F.sum("local_df").alias("df"))
     )
     vocab = build_vocabulary(
-        cat.read_table(spark, "parsed").drop("batch"),
+        None,
         df_raw=df_from_postings,
+        capitals=cat.read_table(spark, "vocab_capitals"),
+        entity_counts=cat.read_table(spark, "vocab_entities"),
     )
     cat.write_table(
         vocab.select(F.col("final_term").alias("term"), "df",

@@ -239,6 +239,10 @@ GROUP BY source, lang
 
 # --- the full curation recipe -------------------------------------------------
 
+#: at most ONE persisted curation base across invocations (see below)
+_CURATE_CACHE: list = []
+
+
 def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end 100 TB corpus curation as one composed SINGLE-SCAN pipeline.
 
@@ -266,12 +270,22 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_exact, dedup_lsh_verified,
     )
 
+    # The returned plan reads ``base`` lazily, so it cannot unpersist here;
+    # instead each invocation evicts the PREVIOUS one's cached relation —
+    # repeated gate/bench runs hold at most one (bounded, not accumulating;
+    # ADVICE r4). Callers wanting immediate eviction clearCache().
+    while _CURATE_CACHE:
+        try:
+            _CURATE_CACHE.pop().unpersist()
+        except Exception:
+            pass
     base = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang", "source", "text",
                 tokens_col().alias("toks"))
         .persist()
     )
+    _CURATE_CACHE.append(base)
     quality = (
         text_gopher_filter(spark, sf_dir, docs=base)
         .filter(F.col("keep"))

@@ -375,6 +375,12 @@ WHERE rank <= {TOP_K}
 KMEANS_K = 8
 KMEANS_ITERS = 3
 KMEANS_INIT_IDS = tuple(range(N_PROBES, N_PROBES + KMEANS_K))  # 5..12
+#: cap on Lloyd-iteration training rows: at 100 TB the coarse quantizer is
+#: trained on a bounded deterministic sample (vec_id stride — expressible in
+#: the DuckDB replay) and only cell ASSIGNMENT touches the full table. All
+#: fixture scales fit under the cap (stride 1), so gate results are
+#: unchanged; tests/test_similarity_sampling.py pins the sampled path.
+KMEANS_MAX_TRAIN = 65_536
 IVF_NPROBE = 2
 
 
@@ -419,17 +425,29 @@ def _assign_cells(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
     )
 
 
+def _train_stride(n: int, max_train: int) -> int:
+    """Deterministic sampling stride: smallest s with n/s <= max_train."""
+    return max(1, -(-n // max_train))
+
+
 def _train_kmeans(spark: SparkSession, emb: DataFrame, dim: int,
                   k: int = KMEANS_K,
-                  iters: int = KMEANS_ITERS) -> list[list[float]]:
+                  iters: int = KMEANS_ITERS,
+                  max_train: int = KMEANS_MAX_TRAIN) -> list[list[float]]:
     init_ids = tuple(range(N_PROBES, N_PROBES + k))
     init_rows = {
         int(r["vec_id"]): list(r["v"])
         for r in emb.filter(F.col("vec_id").isin(*init_ids)).collect()
     }
     cents = [init_rows[i] for i in sorted(init_rows)]
+    # Lloyd iterations run over a BOUNDED deterministic sample (vec_id
+    # stride, SQL-replayable); assignment of the full table happens once,
+    # outside this function. count() is a parquet-stats read, not a scan.
+    stride = _train_stride(emb.count(), max_train)
+    train = emb if stride == 1 else emb.filter(
+        F.col("vec_id") % stride == 0)
     for _ in range(iters):
-        assigned = _assign_cells(emb, _centroid_df(spark, cents))
+        assigned = _assign_cells(train, _centroid_df(spark, cents))
         means = (
             assigned.select("cell", F.posexplode("v").alias("d", "val"))
             .groupBy("cell", "d")
@@ -448,16 +466,19 @@ def _train_kmeans(spark: SparkSession, emb: DataFrame, dim: int,
 
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str, dim: int = 64,
                         k: int = KMEANS_K, nprobe: int = IVF_NPROBE,
-                        iters: int = KMEANS_ITERS) -> DataFrame:
-    """IVF ANN with learned centroids: train k-means, assign cells, probe
-    the ``nprobe`` nearest cells per probe vector, exact cosine rerank
-    within them. ``k``/``nprobe``/``iters`` parameterize the quantizer;
-    the gate entry runs the defaults (K=8, replayed exactly by
-    sql_sim_ivf_kmeans_topk)."""
+                        iters: int = KMEANS_ITERS,
+                        max_train: int = KMEANS_MAX_TRAIN) -> DataFrame:
+    """IVF ANN with learned centroids: train k-means on a bounded sample,
+    assign cells over the full table, probe the ``nprobe`` nearest cells
+    per probe vector, exact cosine rerank within them.
+    ``k``/``nprobe``/``iters``/``max_train`` parameterize the quantizer;
+    the gate entry runs the defaults (K=8, stride 1 at fixture scale,
+    replayed exactly by sql_sim_ivf_kmeans_topk)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = _train_kmeans(spark, emb, dim, k=k, iters=iters)
+    cents = _train_kmeans(spark, emb, dim, k=k, iters=iters,
+                          max_train=max_train)
     cent_df = _centroid_df(spark, cents)
 
     members = _assign_cells(emb, cent_df).select("vec_id", "cell")
@@ -501,14 +522,19 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str, dim: int = 64,
     )
 
 
-def sql_sim_ivf_kmeans_topk(dim: int = 64) -> str:
-    """Unrolled-Lloyd DuckDB replay of the identical k-means + IVF query."""
+def sql_sim_ivf_kmeans_topk(dim: int = 64, stride: int = 1) -> str:
+    """Unrolled-Lloyd DuckDB replay of the identical k-means + IVF query.
+
+    ``stride`` replays the bounded training sample (vec_id % stride = 0 —
+    the same predicate _train_kmeans applies); assignment/probe/rerank
+    CTEs always run over the full table, like the Spark side."""
     init_ids = ", ".join(str(i) for i in KMEANS_INIT_IDS)
     dist = ("round(list_sum(list_transform(range(1, {n}), "
             "d -> (e.v[d] - c.c[d]) * (e.v[d] - c.c[d]))), 6)"
             ).format(n=dim + 1)
     ctes = [
         f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"t AS (SELECT * FROM e WHERE vec_id % {stride} = 0)",
         ("cent0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT "
          f"AS cell, v AS c FROM e WHERE vec_id IN ({init_ids}))"),
     ]
@@ -518,7 +544,7 @@ def sql_sim_ivf_kmeans_topk(dim: int = 64) -> str:
             (f"a{i} AS (SELECT vec_id, v, cell FROM ("
              f"SELECT e.vec_id, e.v, c.cell, row_number() OVER ("
              f"PARTITION BY e.vec_id ORDER BY {dist}, c.cell) AS rn "
-             f"FROM e CROSS JOIN {prev} c) WHERE rn = 1)"),
+             f"FROM t e CROSS JOIN {prev} c) WHERE rn = 1)"),
             (f"m{i} AS (SELECT cell, d, round(avg(val), 6) AS mv FROM ("
              f"SELECT cell, unnest(v) AS val, unnest(range(1, {dim + 1})) "
              f"AS d FROM a{i}) GROUP BY cell, d)"),

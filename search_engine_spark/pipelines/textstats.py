@@ -203,6 +203,94 @@ GROUP BY entity
 """
 
 
+# --- non-vacuous capitals/entities gate entries ------------------------------
+# The synthetic documents corpus is all-lowercase, so se_capitals /
+# se_entities legitimately return 0 rows at every gate scale — correct but
+# vacuous (VERDICT r4). These siblings run the SAME aggregations over
+# documents UNION ALL a 4-row inline fixture whose invented tokens exercise
+# every branch: an always-capitalized term (survives the AND-fold), a
+# mixed-case term (negative control, folded out), and a multi-word entity
+# mentioned twice. The fixture rides inline in BOTH the Spark plan and the
+# DuckDB SQL (VALUES list), so the driver's value-hash compares real
+# non-empty results.
+
+CAPENT_FIXTURE_ROWS = (
+    "Qzorvex index gained while Qzorvex futures slid",
+    "analysts watched Qzorvex closely as Vexalon Ridge reported",
+    "the Vexalon Ridge event repeated as qmixta stayed flat",
+    "Qmixta rose early then qmixta faded",
+)
+
+
+def _docs_with_capent_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("text")
+    fx = spark.createDataFrame([(t,) for t in CAPENT_FIXTURE_ROWS],
+                               "text string")
+    return docs.unionByName(fx)
+
+
+_SQL_CAPENT_FROM = (
+    "(SELECT text FROM documents UNION ALL SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}')" for t in CAPENT_FIXTURE_ROWS)
+    + ") fx(text))"
+)
+
+
+def q_capitals_nonvacuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_capent_fixture(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.col("text"), "[^a-zA-Z0-9]+"), lambda x: x != ""
+    )
+    return (
+        docs.select(F.explode(toks).alias("tok"))
+        .select(
+            F.lower("tok").alias("term"),
+            F.col("tok").rlike("^[A-Z]").alias("cap"),
+        )
+        .groupBy("term")
+        .agg(
+            F.bool_and("cap").alias("always_cap"),
+            F.count("*").cast("long").alias("occurrences"),
+        )
+        .filter(F.col("always_cap"))
+    )
+
+
+SQL_CAPITALS_NONVACUOUS = f"""
+SELECT lower(tok) AS term,
+       bool_and(regexp_matches(tok, '^[A-Z]')) AS always_cap,
+       count(*)::BIGINT AS occurrences
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                            t -> t <> '')) AS tok
+  FROM {_SQL_CAPENT_FROM}
+)
+GROUP BY lower(tok)
+HAVING bool_and(regexp_matches(tok, '^[A-Z]'))
+"""
+
+
+def q_entities_nonvacuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_capent_fixture(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(ENTITY_RE), 1)
+            ).alias("entity")
+        )
+        .groupBy("entity")
+        .agg(F.count("*").cast("long").alias("mentions"))
+    )
+
+
+SQL_ENTITIES_NONVACUOUS = f"""
+SELECT entity, count(*)::BIGINT AS mentions
+FROM (SELECT unnest(regexp_extract_all(text, '{ENTITY_RE}', 1)) AS entity
+      FROM {_SQL_CAPENT_FROM})
+GROUP BY entity
+"""
+
+
 # --- language ID (n-gram/stopword heuristic) --------------------------------
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:

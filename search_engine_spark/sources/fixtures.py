@@ -47,21 +47,40 @@ ATLANTIS_SNIPPET = "lost Atlantis resurfaced briefly"
 EMPTY_SNIPPET = "https://t.co/onlyurl 🙂🙂 世界"
 
 
-def _vocab() -> np.ndarray:
-    return np.array([f"term{i:04d}" for i in range(VOCAB_SIZE)])
+def _vocab(vocab_size: int | None = None) -> np.ndarray:
+    if vocab_size is None:
+        return np.array([f"term{i:04d}" for i in range(VOCAB_SIZE)])
+    # wide zero-padding so lexicographic term order stays numeric order at
+    # any vocabulary size (parquet row-group term pruning relies on sorted
+    # term ranges)
+    return np.array([f"t{i:07d}" for i in range(vocab_size)])
 
 
-def generate_web_pages(n_rows: int) -> pa.Table:
-    """Build the corpus as an Arrow table (deterministic for given n_rows)."""
+def generate_web_pages(
+    n_rows: int,
+    vocab_size: int | None = None,
+    zipf_s: float | None = None,
+) -> pa.Table:
+    """Build the corpus as an Arrow table (deterministic for given n_rows).
+
+    The default (5,000-term, s=1.1) vocabulary is byte-stable across rounds
+    — every cached fixture and test golden depends on it. ``vocab_size`` /
+    ``zipf_s`` produce the *web-shaped* variant (e.g. 2M terms: most terms
+    df<10 while head terms still cover most tokens) used by the incremental
+    compaction benchmark — on the dense default every (bucket, term) group
+    is touched by any increment, which says nothing about a real crawl's
+    vocabulary.
+    """
     rng = np.random.default_rng(SEED)
-    vocab = _vocab()
-    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
-    probs = ranks ** (-ZIPF_S)
+    vocab = _vocab(vocab_size)
+    V = len(vocab)
+    ranks = np.arange(1, V + 1, dtype=np.float64)
+    probs = ranks ** (-(ZIPF_S if zipf_s is None else zipf_s))
     probs /= probs.sum()
 
     lengths = rng.integers(5, 201, size=n_rows)
     total = int(lengths.sum())
-    flat = rng.choice(VOCAB_SIZE, size=total, p=probs)
+    flat = rng.choice(V, size=total, p=probs)
     offsets = np.concatenate(([0], np.cumsum(lengths)))
 
     urls = [
@@ -100,7 +119,9 @@ def generate_web_pages(n_rows: int) -> pa.Table:
     )
 
 
-def write_web_pages(path: str, n_rows: int, row_group_size: int = 8_192) -> str:
+def write_web_pages(path: str, n_rows: int, row_group_size: int = 8_192,
+                    vocab_size: int | None = None,
+                    zipf_s: float | None = None) -> str:
     """Write the fixture corpus as one parquet file.
 
     Row groups are kept small (~15 MB): Spark's byte-range input splits
@@ -109,7 +130,7 @@ def write_web_pages(path: str, n_rows: int, row_group_size: int = 8_192) -> str:
     how many cores run — production web corpora come as thousands of
     files, which this layout emulates within one file.
     """
-    table = generate_web_pages(n_rows)
+    table = generate_web_pages(n_rows, vocab_size=vocab_size, zipf_s=zipf_s)
     pq.write_table(table, path, compression="snappy",
                    row_group_size=row_group_size)
     return path

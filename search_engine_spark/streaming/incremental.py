@@ -271,7 +271,8 @@ def compact_staging(
             if str(b).startswith("compact-")) + 1
     )
     derived_tables = ("corpus_stats", "doc_stats", "doc_stats_topical",
-                      "postings", "term_stats")
+                      "postings", "term_stats", "vocab_capitals",
+                      "vocab_entities")
     if fresh.isEmpty():
         # replay after a completed (or crashed) compaction: nothing to
         # append. If the stale stamp says the derived tables predate the
@@ -297,7 +298,7 @@ def compact_staging(
         and stamp_ok
         and all(cat.has_table(t)
                 for t in ("corpus_stats", "doc_stats", "postings",
-                          "term_stats"))
+                          "term_stats", "vocab_capitals", "vocab_entities"))
     )
     if incremental_ok:
         stage_sec, n_docs, avg_dl = merge_derive_tables(

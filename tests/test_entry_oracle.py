@@ -70,3 +70,6 @@ def test_entry_matches_oracle(spark, name, fn, sql):
     exp = _norm(duck_rows, cols)
     mism = [(g, e) for g, e in zip(got, exp) if g != e]
     assert not mism, f"{name}: {len(mism)} mismatched rows; first: {mism[:3]}"
+    if name.endswith("_nonvacuous"):
+        # these entries exist precisely to certify with rows present
+        assert len(spark_rows) >= 1, f"{name}: vacuous (0 rows)"

@@ -171,7 +171,10 @@ def test_posting_shuffle_moves_doc_rows_not_postings(spark, tiny_corpus_path):
     from search_engine_spark.operators.index_build import sorted_posting_rows
     from search_engine_spark.operators.parse import parse_corpus
 
-    cfg = EngineConfig(num_buckets=4, shuffle_partitions=8)
+    # num_buckets >= shuffle_partitions: the slim-shuffle path (undersized
+    # configs take the explode-first (bucket, term) fallback instead —
+    # pinned by tests/test_bucket_fallback.py)
+    cfg = EngineConfig(num_buckets=8, shuffle_partitions=8)
     parsed = parse_corpus(spark.read.parquet(tiny_corpus_path), cfg)
     plan = _explain(sorted_posting_rows(parsed, cfg), "formatted")
     assert "hashpartitioning(element_at" in plan, plan
