@@ -293,9 +293,18 @@ def compact_staging(
         for table in derived_tables:
             cat.drop_table(table)
 
+    # Iceberg routing: merge_derive_tables overwrites doc_stats/postings
+    # with plans that READ the same table. The parquet branch is safe
+    # (write to _tmp, rename last); in Iceberg mode that write becomes a
+    # self-referential REPLACE TABLE AS SELECT, which no test in this
+    # jar-less sandbox can exercise — so Iceberg-backed indexes take the
+    # full re-derive (reads only ``parsed``) until a runtime covers RTAS
+    # (ADVICE r4; see tests/test_iceberg_branch.py's skipif e2e).
+    iceberg_mode = cat._iceberg_ident(spark, "postings") is not None
     incremental_ok = (
         batch_id is not None
         and stamp_ok
+        and not iceberg_mode
         and all(cat.has_table(t)
                 for t in ("corpus_stats", "doc_stats", "postings",
                           "term_stats", "vocab_capitals", "vocab_entities"))

@@ -63,3 +63,71 @@ def test_iceberg_roundtrip_when_jar_present(spark, tmp_path):
         assert not cat.has_table("inc")
     finally:
         spark.conf.unset(ICEBERG_NAMESPACE_CONF)
+
+
+def test_iceberg_e2e_build_compact_query_when_jar_present(spark, tmp_path):
+    """Full pipeline in Iceberg mode (runs automatically once a jar +
+    registered `ice` catalog are present): build_index stages `parsed` via
+    writeTo, compact_staging folds a streamed increment through
+    cat.read_table, and the query engine answers over the Iceberg-backed
+    tables. Iceberg-routed compaction must take the FULL re-derive path
+    (self-referential RTAS is not runtime-tested — streaming/
+    incremental.py routing) and still equal a from-scratch build."""
+    if not iceberg_runtime_available(spark):
+        pytest.skip("no Iceberg runtime jar in this environment")
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.search import BM25SearchEngine
+    from search_engine_spark.sources.fixtures import (
+        FIXTURE_QUERIES, generate_web_pages,
+    )
+    from search_engine_spark.streaming.incremental import (
+        compact_staging, incremental_index_update,
+    )
+
+    spark.conf.set(ICEBERG_NAMESPACE_CONF, "ice.search_index_e2e")
+    try:
+        cfg = EngineConfig(num_buckets=4, shuffle_partitions=4)
+        full = generate_web_pages(300)
+        base = str(tmp_path / "base.parquet")
+        pq.write_table(full.slice(0, 240), base)
+        inc_dir = tmp_path / "incoming"
+        inc_dir.mkdir()
+        pq.write_table(full.slice(240, 60), str(inc_dir / "w.parquet"))
+
+        idx = str(tmp_path / "ice_e2e_idx")
+        build_index(spark, spark.read.parquet(base), idx, cfg,
+                    resume_batches=1)
+        incremental_index_update(spark, str(inc_dir),
+                                 str(tmp_path / "staging"),
+                                 str(tmp_path / "ckpt"), cfg)
+        out = compact_staging(spark, idx, str(tmp_path / "staging"), cfg)
+        assert out["incremental"] is False  # Iceberg → full re-derive
+
+        # equals a from-scratch build over the union corpus
+        allp = str(tmp_path / "all.parquet")
+        pq.write_table(full, allp)
+        spark.conf.set(ICEBERG_NAMESPACE_CONF, "ice.search_index_e2e_ref")
+        ref = str(tmp_path / "ice_e2e_ref")
+        build_index(spark, spark.read.parquet(allp), ref, cfg,
+                    resume_batches=1)
+
+        eng_a = BM25SearchEngine(spark, idx, cfg)
+        spark.conf.set(ICEBERG_NAMESPACE_CONF, "ice.search_index_e2e")
+        res_a = sorted(
+            (r.qid, r.rank, r.url, round(r.score, 9))
+            for r in eng_a.search_batch(FIXTURE_QUERIES[:8], k=10).collect()
+        )
+        spark.conf.set(ICEBERG_NAMESPACE_CONF, "ice.search_index_e2e_ref")
+        eng_b = BM25SearchEngine(spark, ref, cfg)
+        res_b = sorted(
+            (r.qid, r.rank, r.url, round(r.score, 9))
+            for r in eng_b.search_batch(FIXTURE_QUERIES[:8], k=10).collect()
+        )
+        assert res_a == res_b and len(res_a) > 0
+    finally:
+        spark.conf.unset(ICEBERG_NAMESPACE_CONF)
