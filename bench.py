@@ -392,30 +392,41 @@ def main() -> None:
     # block-boundary TAIL-APPENDS (codec.append_posting_blob) — the old
     # bulk is a header-adjusted memcpy, work is increment-proportional.
     # Measured here on a 2M-term Zipf vocabulary (most terms df<10, like a
-    # real crawl) at the same N_PAGES/10% shape as the dense section.
-    zipf_fixture = os.path.join(CACHE_DIR, f"web_pages_zipf_{N_PAGES}.parquet")
-    zipf_incoming = os.path.join(
-        CACHE_DIR, f"web_pages_zipf_incoming_{N_PAGES}.parquet")
-    if not (os.path.exists(zipf_fixture) and os.path.exists(zipf_incoming)):
-        import pyarrow.parquet as pq
+    # real crawl). The increment-proportionality claim is a TREND, not a
+    # single ratio: a Zipf increment's distinct-term count grows with its
+    # token count (fat tail), so at small base corpora the merge's
+    # per-group machinery costs about what rebuild's streamlined
+    # explode+sort+encode does. The decisive evidence is holding the
+    # increment FIXED while doubling the base: rebuild's wall is
+    # corpus-proportional (re-parses everything), compact's is
+    # increment + index-I/O-proportional — so compact_over_rebuild must
+    # FALL as the base grows. Measured at base = N_PAGES and 2·N_PAGES.
+    def _zipf_fixture(base: int) -> tuple[str, str]:
+        fx = os.path.join(CACHE_DIR, f"web_pages_zipf_{base}.parquet")
+        inc = os.path.join(
+            CACHE_DIR, f"web_pages_zipf_incoming_{base}.parquet")
+        if not (os.path.exists(fx) and os.path.exists(inc)):
+            import pyarrow.parquet as pq
 
-        from search_engine_spark.sources.fixtures import generate_web_pages
+            from search_engine_spark.sources.fixtures import generate_web_pages
 
-        zt = generate_web_pages(N_PAGES + n_new, vocab_size=2_000_000,
-                                zipf_s=1.1)
-        pq.write_table(zt.slice(0, N_PAGES), zipf_fixture,
-                       compression="snappy", row_group_size=8_192)
-        pq.write_table(zt.slice(N_PAGES, n_new), zipf_incoming,
-                       compression="snappy", row_group_size=8_192)
-        del zt
+            zt = generate_web_pages(base + n_new, vocab_size=2_000_000,
+                                    zipf_s=1.1)
+            pq.write_table(zt.slice(0, base), fx,
+                           compression="snappy", row_group_size=8_192)
+            pq.write_table(zt.slice(base, n_new), inc,
+                           compression="snappy", row_group_size=8_192)
+            del zt
+        return fx, inc
 
-    def _zipf_compaction() -> dict:
+    def _zipf_compaction(base: int) -> dict:
         from search_engine_spark.config import EngineConfig
         from search_engine_spark.operators.index_build import build_index
         from search_engine_spark.streaming.incremental import (
             compact_staging, incremental_index_update,
         )
 
+        zipf_fixture, zipf_incoming = _zipf_fixture(base)
         mcfg = EngineConfig(
             num_buckets=int(CPUS), shuffle_partitions=int(CPUS),
             files_max_partition_bytes=8 * 1024 * 1024,
@@ -445,6 +456,7 @@ def main() -> None:
         t4 = time.time()
         shutil.rmtree(work, ignore_errors=True)
         return {
+            "base_docs": base,
             "incoming_docs": n_new,
             "vocab": "zipf-tail 2M terms, s=1.1",
             "doc_id_mode": "monotone",
@@ -456,11 +468,22 @@ def main() -> None:
             "compact_over_rebuild": round((t2 - t1) / (t4 - t3), 3),
         }
 
-    probe_pre = contention_probe()
-    zres = _zipf_compaction()
-    zres["probe_pre"] = probe_pre
-    zres["probe_post"] = contention_probe()
-    extra["compaction_monotone_zipf"] = zres
+    zipf_runs = []
+    for base in (N_PAGES, 2 * N_PAGES, 4 * N_PAGES):
+        probe_pre = contention_probe()
+        zres = _zipf_compaction(base)
+        zres["probe_pre"] = probe_pre
+        zres["probe_post"] = contention_probe()
+        zipf_runs.append(zres)
+    extra["compaction_monotone_zipf"] = {
+        "runs": zipf_runs,
+        # increment fixed, base quadrupled: compact wall should stay ~flat
+        # while rebuild's is corpus-proportional
+        "compact_sec_growth_4x_base": round(
+            zipf_runs[2]["compact_sec"] / zipf_runs[0]["compact_sec"], 3),
+        "rebuild_sec_growth_4x_base": round(
+            zipf_runs[2]["rebuild_sec"] / zipf_runs[0]["rebuild_sec"], 3),
+    }
 
     # regression guard vs previous round (only meaningful at the standard
     # sf0.1 / 32-cpu configuration the driver runs)
