@@ -78,26 +78,42 @@ PROBE_LOG_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_probes.json")
 
 
-def emit_headline(payload: dict, probe_log: dict,
+#: the driver keeps only a bounded tail of stdout (~2000 chars) and parses
+#: its last line; the headline must fit WELL inside that window or the cut
+#: lands mid-JSON (the round-4 delivery failure)
+HEADLINE_BUDGET = 1900
+
+
+def emit_headline(payload: dict, probe_log: dict, detail: dict | None = None,
                   probe_path: str = PROBE_LOG_PATH) -> None:
     """Print the headline JSON as the FINAL stdout line, compact.
 
     The driver captures a bounded tail of stdout and json-parses the last
-    line, so: (1) the full probe log goes to ``probe_path`` + its own
-    stdout line BEFORE the headline, never inside it; (2) the headline
-    carries only per-query clean-sample counts (a few bytes per query).
+    line, so: (1) the full probe log + any bulky per-section detail goes to
+    ``probe_path`` and its own stdout line BEFORE the headline, never
+    inside it; (2) the headline carries only per-query clean-sample counts
+    (a few bytes per query); (3) if the composed headline still exceeds
+    ``HEADLINE_BUDGET``, the largest ``extra`` entries are spilled to the
+    detail channel (largest first, deterministically) until it fits.
     """
-    with open(probe_path, "w") as f:
-        json.dump(probe_log, f, indent=1)
-    print(json.dumps({"metric": "probe_log", "path": probe_path,
-                      "probes": probe_log}))
-    payload.setdefault("extra", {})["clean_samples"] = {
+    detail = dict(detail or {})
+    extra = payload.setdefault("extra", {})
+    extra["clean_samples"] = {
         name: rec["clean_samples"] for name, rec in probe_log.items()
     }
+    # spill oversized extras to the side channel until the headline fits
+    while len(json.dumps(payload)) >= HEADLINE_BUDGET and extra:
+        biggest = max(extra, key=lambda k: len(json.dumps(extra[k])))
+        detail[f"extra.{biggest}"] = extra.pop(biggest)
+    side = {"probes": probe_log, "detail": detail}
+    with open(probe_path, "w") as f:
+        json.dump(side, f, indent=1)
+    print(json.dumps({"metric": "probe_log", "path": probe_path, **side}))
     line = json.dumps(payload)
     # hard guard: a bloated headline is a delivery failure, fail loudly here
     # rather than silently handing the driver an unparseable tail
-    assert len(line) < 4000, f"headline line too long ({len(line)} chars)"
+    assert len(line) < HEADLINE_BUDGET, \
+        f"headline line too long ({len(line)} chars)"
     print(line)
 
 
@@ -129,6 +145,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict = {}
+    detail: dict = {}
     probe_log: dict[str, dict] = {}
     try:
         extra["loadavg_start"] = round(os.getloadavg()[0], 2)
@@ -371,7 +388,9 @@ def main() -> None:
     probe_pre = contention_probe()
     ingest_sec, compact_sec, compact_out = _compact_incremental()
     rebuild_sec = _full_rebuild()
-    extra["compaction"] = {
+    probe_post = contention_probe()
+    # full record goes to the side channel; the headline keeps the summary
+    detail["compaction"] = {
         "incoming_docs": n_new,
         "ingest_sec": round(ingest_sec, 3),
         "compact_sec": round(compact_sec, 3),
@@ -380,7 +399,11 @@ def main() -> None:
         "rebuild_sec": round(rebuild_sec, 3),
         "compact_over_rebuild": round(compact_sec / rebuild_sec, 3),
         "probe_pre": probe_pre,
-        "probe_post": contention_probe(),
+        "probe_post": probe_post,
+    }
+    extra["compaction"] = {
+        "compact_over_rebuild": round(compact_sec / rebuild_sec, 3),
+        "clean": bool(probe_pre["clean"] and probe_post["clean"]),
     }
 
     # --- monotone-id compaction on the web-shaped (Zipf-tail) corpus --------
@@ -475,14 +498,20 @@ def main() -> None:
         zres["probe_pre"] = probe_pre
         zres["probe_post"] = contention_probe()
         zipf_runs.append(zres)
+    detail["compaction_monotone_zipf"] = {"runs": zipf_runs}
     extra["compaction_monotone_zipf"] = {
-        "runs": zipf_runs,
         # increment fixed, base quadrupled: compact wall should stay ~flat
         # while rebuild's is corpus-proportional
+        "ratio_by_base": {
+            str(r["base_docs"]): r["compact_over_rebuild"]
+            for r in zipf_runs
+        },
         "compact_sec_growth_4x_base": round(
             zipf_runs[2]["compact_sec"] / zipf_runs[0]["compact_sec"], 3),
         "rebuild_sec_growth_4x_base": round(
             zipf_runs[2]["rebuild_sec"] / zipf_runs[0]["rebuild_sec"], 3),
+        "clean": all(r["probe_pre"]["clean"] and r["probe_post"]["clean"]
+                     for r in zipf_runs),
     }
 
     # regression guard vs previous round (only meaningful at the standard
@@ -519,6 +548,7 @@ def main() -> None:
             "cpus": int(CPUS),
         },
         probe_log,
+        detail=detail,
     )
     spark.stop()
 

@@ -3,18 +3,20 @@
 Round 4 regression: the per-sample probe log was embedded in the headline
 JSON line, the line outgrew the driver's stdout tail window, and the driver
 captured it mid-JSON -> BENCH_r04.json {"parsed": null}. These tests pin the
-fix: the probe log goes to a side file + its own stdout line, the headline
-is the FINAL line and stays compact, and a truncated-tail replica of the
-driver's capture still json-parses.
+fix: the probe log + bulky per-section detail go to a side file + their own
+stdout line, the headline is the FINAL line and stays under
+HEADLINE_BUDGET (< the ~2000-char driver tail), and a truncated-tail
+replica of the driver's capture still json-parses. Oversized extras are
+spilled to the detail channel rather than breaking the budget.
 """
 
 import contextlib
 import io
 import json
 
-from bench import emit_headline
+from bench import HEADLINE_BUDGET, emit_headline
 
-#: replica of the round-4 probe volume: 14 queries x 5 samples with pre+post
+#: replica of the round-4 probe volume: 15 queries x 5 samples with pre+post
 #: probe readings each — the payload that broke the r4 headline
 _BIG_PROBE_LOG = {
     f"query_{i:02d}": {
@@ -26,37 +28,82 @@ _BIG_PROBE_LOG = {
             for _ in range(5)
         ],
     }
-    for i in range(14)
+    for i in range(15)
+}
+
+#: round-5-shaped side-channel detail: full compaction records incl. the
+#: three-base Zipf trend — must never ride on the headline line
+_DETAIL = {
+    "compaction": {
+        "incoming_docs": 15000, "ingest_sec": 7.3, "compact_sec": 14.4,
+        "compact_stage_sec": {"stats": 2.9, "postings": 7.0,
+                              "term_stats": 2.5},
+        "incremental": True, "rebuild_sec": 13.3,
+        "compact_over_rebuild": 1.083,
+        "probe_pre": {"busy_cores": 1.0, "memcpy_gbps": 3.2, "clean": False},
+        "probe_post": {"busy_cores": 1.0, "memcpy_gbps": 4.4, "clean": True},
+    },
+    "compaction_monotone_zipf": {
+        "runs": [
+            {"base_docs": b, "incoming_docs": 15000,
+             "vocab": "zipf-tail 2M terms, s=1.1",
+             "doc_id_mode": "monotone", "ingest_sec": 5.0,
+             "compact_sec": 19.0,
+             "compact_stage_sec": {"stats": 3.4, "postings": 9.0,
+                                   "term_stats": 3.7},
+             "incremental": True, "rebuild_sec": 16.0,
+             "compact_over_rebuild": 1.18,
+             "probe_pre": {"busy_cores": 1.0, "memcpy_gbps": 5.8,
+                           "clean": True},
+             "probe_post": {"busy_cores": 1.0, "memcpy_gbps": 5.3,
+                            "clean": True}}
+            for b in (150000, 300000, 600000)
+        ],
+    },
 }
 
 _PAYLOAD = {
     "metric": "headline_total",
-    "value": 42.39,
+    "value": 28.042,
     "unit": "sec",
-    "queries": {f"query_{i:02d}": 1.234 for i in range(14)},
+    "queries": {f"query_{i:02d}": 1.234 for i in range(15)},
     "sf": 0.1,
     "extra": {
-        "index_docs_per_sec": 12700.0,
-        "oracle_single_node_docs_per_sec": 5200.0,
-        "speedup_vs_reference_single_node": 2.43,
-        "compaction": {"compact_sec": 14.9, "rebuild_sec": 13.8,
-                       "compact_over_rebuild": 1.08,
-                       "probe_pre": {"busy_cores": 1.1, "memcpy_gbps": 4.6,
-                                     "clean": True},
-                       "probe_post": {"busy_cores": 1.2, "memcpy_gbps": 4.5,
-                                      "clean": True}},
-        "regressions": {},
-        "regression_count": 0,
+        "loadavg_start": 1.27,
+        "index_docs_per_sec": 13093.9,
+        "index_n_docs": 149755,
+        "index_stats_sec": 1.2,
+        "index_postings_sec": 4.1,
+        "index_term_stats_sec": 2.2,
+        "bm25_ms_per_query": 51.4,
+        "bm25_result_rows": 230,
+        "oracle_single_node_docs_per_sec": 5229.8,
+        "speedup_vs_reference_single_node": 2.5,
+        "compaction": {"compact_over_rebuild": 1.083, "clean": True},
+        "compaction_monotone_zipf": {
+            "ratio_by_base": {"150000": 1.18, "300000": 0.698,
+                              "600000": 0.338},
+            "compact_sec_growth_4x_base": 1.327,
+            "rebuild_sec_growth_4x_base": 4.641,
+            "clean": True,
+        },
+        "regressions": {"query_04": {"prev": 1.4, "now": 1.692}},
+        "regression_count": 1,
+        "loadavg_end": 14.77,
     },
     "cpus": 32,
 }
 
 
-def _run_emit(tmp_path):
+def _run_emit(tmp_path, payload=None, detail=None):
     buf = io.StringIO()
     probe_path = str(tmp_path / "bench_probes.json")
     with contextlib.redirect_stdout(buf):
-        emit_headline(dict(_PAYLOAD), _BIG_PROBE_LOG, probe_path=probe_path)
+        emit_headline(
+            json.loads(json.dumps(payload or _PAYLOAD)), _BIG_PROBE_LOG,
+            detail=json.loads(json.dumps(detail or _DETAIL)),
+            probe_path=probe_path,
+        )
     return buf.getvalue(), probe_path
 
 
@@ -69,7 +116,7 @@ def test_last_line_parses_from_truncated_tail(tmp_path):
         last = tail.strip().splitlines()[-1]
         parsed = json.loads(last)
         assert parsed["metric"] == "headline_total"
-        assert parsed["value"] == 42.39
+        assert parsed["value"] == 28.042
         assert parsed["queries"]["query_00"] == 1.234
 
 
@@ -77,16 +124,41 @@ def test_headline_line_is_compact_and_final(tmp_path):
     out, _ = _run_emit(tmp_path)
     lines = out.strip().splitlines()
     last = lines[-1]
-    assert len(last) < 4000
-    # probe samples live on their own earlier line, never in the headline
+    assert len(last) < HEADLINE_BUDGET
+    # probe samples and full compaction records live on their own earlier
+    # line, never in the headline
     assert '"samples":' not in last
+    assert '"runs":' not in last
     parsed = json.loads(last)
     # compact per-query clean-counts survive in the headline for the gate
     assert parsed["extra"]["clean_samples"]["query_00"] == 1
+    # the compaction SUMMARIES survive in the headline
+    assert parsed["extra"]["compaction"]["compact_over_rebuild"] == 1.083
+    zipf = parsed["extra"]["compaction_monotone_zipf"]
+    assert zipf["ratio_by_base"]["600000"] == 0.338
 
 
-def test_probe_side_file_holds_full_log(tmp_path):
+def test_probe_side_file_holds_full_log_and_detail(tmp_path):
     _, probe_path = _run_emit(tmp_path)
     with open(probe_path) as f:
-        log = json.load(f)
-    assert log == _BIG_PROBE_LOG
+        side = json.load(f)
+    assert side["probes"] == _BIG_PROBE_LOG
+    assert side["detail"]["compaction_monotone_zipf"]["runs"][2][
+        "base_docs"] == 600000
+
+
+def test_oversized_extras_spill_to_detail(tmp_path):
+    payload = json.loads(json.dumps(_PAYLOAD))
+    # a pathological extra (e.g. a future section forgetting the summary
+    # pattern) must spill to the side channel, not break the budget
+    payload["extra"]["huge_section"] = {
+        f"k{i}": "x" * 50 for i in range(100)
+    }
+    out, probe_path = _run_emit(tmp_path, payload=payload)
+    last = out.strip().splitlines()[-1]
+    assert len(last) < HEADLINE_BUDGET
+    parsed = json.loads(last)
+    assert "huge_section" not in parsed["extra"]
+    with open(probe_path) as f:
+        side = json.load(f)
+    assert side["detail"]["extra.huge_section"]["k0"] == "x" * 50
