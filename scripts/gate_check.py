@@ -89,10 +89,27 @@ def main() -> None:
             ok_schema = cols == ocols
             ok_rows = len(srows) == len(orows)
             ok_vals = srows == orows
-            status = "OK" if (ok_schema and ok_rows and ok_vals) else "FAIL"
+            # The driver's 6-decimal ABSOLUTE rounding is the gate shape at
+            # its sf0.01 scale; at bigger SFs large float sums (~1e9) differ
+            # by summation ORDER alone (1 ulp ~ 1e-7 absolute > the rounding
+            # grain). Distinguish real value bugs from ulp noise with a
+            # relative-tolerance re-check so insurance runs at sf0.1 don't
+            # cry wolf: floats equal within rtol 1e-9 count as FLOAT-ULP.
+            ulp_only = False
+            if ok_schema and ok_rows and not ok_vals:
+                def _close(a, b):
+                    if isinstance(a, float) and isinstance(b, float):
+                        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+                    return a == b
+                ulp_only = all(
+                    all(_close(x, y) for x, y in zip(sr, orow))
+                    for sr, orow in zip(srows, orows)
+                )
+            status = ("OK" if (ok_schema and ok_rows and ok_vals)
+                      else "OK-FLOAT-ULP" if ulp_only else "FAIL")
             print(f"{name}: {status} spark={len(srows)} oracle={len(orows)} "
                   f"schema={'ok' if ok_schema else f'{cols} vs {ocols}'}"
-                  + ("" if ok_vals else " VALUES-DIFFER"))
+                  + ("" if ok_vals or ulp_only else " VALUES-DIFFER"))
             if status == "FAIL":
                 if not ok_vals and ok_schema and ok_rows:
                     diff = [
