@@ -324,6 +324,27 @@ def main() -> None:
             repeats=3,
         )
 
+    # --- provisional headline: crash insurance for the long tail -----------
+    # The compaction sections below run multi-minute Spark jobs (the Zipf
+    # trend alone builds+rebuilds up to a 660k-doc index). If the driver
+    # kills the process mid-section, everything printed LAST is lost — so
+    # emit a complete, parseable headline NOW covering all per-query
+    # timings; the final emit at the end supersedes it as the tail's last
+    # line (the driver parses the last line, so on a healthy run the
+    # provisional line is simply ignored).
+    emit_headline(
+        {
+            "metric": "headline_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": dict(timings),
+            "sf": _sf_label(SF_DIR),
+            "extra": {**extra, "provisional": True},
+            "cpus": int(CPUS),
+        },
+        probe_log,
+    )
+
     # --- incremental compaction vs full rebuild -----------------------------
     # The north_rule's resume/lineage machinery, measured: land 10% new
     # docs through the streaming staging path (micro-batch parse of ONLY

@@ -147,6 +147,29 @@ def test_probe_side_file_holds_full_log_and_detail(tmp_path):
         "base_docs"] == 600000
 
 
+def test_provisional_then_final_headline(tmp_path):
+    # crash insurance: a provisional headline is emitted before the long
+    # compaction tail; on a healthy run the FINAL emit is the tail's last
+    # line, and if the process dies mid-tail the provisional line is the
+    # last complete one — both must parse
+    buf = io.StringIO()
+    probe_path = str(tmp_path / "bench_probes.json")
+    prov = json.loads(json.dumps(_PAYLOAD))
+    prov["extra"]["provisional"] = True
+    with contextlib.redirect_stdout(buf):
+        emit_headline(prov, _BIG_PROBE_LOG, probe_path=probe_path)
+    killed_tail = buf.getvalue()[-2000:]
+    parsed = json.loads(killed_tail.strip().splitlines()[-1])
+    assert parsed["extra"]["provisional"] is True
+    with contextlib.redirect_stdout(buf):
+        emit_headline(json.loads(json.dumps(_PAYLOAD)), _BIG_PROBE_LOG,
+                      detail=_DETAIL, probe_path=probe_path)
+    healthy_tail = buf.getvalue()[-2000:]
+    parsed = json.loads(healthy_tail.strip().splitlines()[-1])
+    assert "provisional" not in parsed["extra"]
+    assert parsed["extra"]["compaction_monotone_zipf"]["ratio_by_base"]
+
+
 def test_oversized_extras_spill_to_detail(tmp_path):
     payload = json.loads(json.dumps(_PAYLOAD))
     # a pathological extra (e.g. a future section forgetting the summary
