@@ -71,6 +71,32 @@ def _sf_label(path: str) -> float:
         return -1.0
 
 
+def classify_regressions(
+    timings: dict, prev_all: dict, probe_log: dict,
+    tolerance: float = REGRESSION_TOLERANCE,
+) -> tuple[dict, dict]:
+    """Split prev-round exceedances into (regressions, regressions_unprobed).
+
+    A regression CLAIM requires clean evidence: when every sample of a
+    query was probe-contended, the exceedance says nothing about the code
+    (external contention only ever inflates a sample, never deflates it) —
+    it is reported separately as unprobed, with the per-sample probe
+    readings in bench_probes.json, instead of flagging a phantom
+    regression (three were flagged in r3 under loadavg 12 with unchanged
+    plans, all re-measured back to baseline in clean windows)."""
+    exceeded = {
+        name: {"prev": prev, "now": timings[name]}
+        for name, prev in prev_all.items()
+        if name in timings and timings[name] > prev * (1 + tolerance)
+    }
+    regressions = {
+        n: v for n, v in exceeded.items()
+        if probe_log.get(n, {}).get("clean_samples", 0) > 0
+    }
+    unprobed = {n: v for n, v in exceeded.items() if n not in regressions}
+    return regressions, unprobed
+
+
 #: side file for the full per-sample probe log; the headline JSON line must
 #: stay compact (round 4 embedded the log in the headline and blew past the
 #: driver's tail-capture window → BENCH_r04.json parsed: null)
@@ -544,14 +570,12 @@ def main() -> None:
             prev_all.pop("bm25_query_batch", None)
         if N_PAGES == 50_000:
             prev_all.update(PREV_ROUND_50K)
-        regressions = {
-            name: {"prev": prev, "now": timings[name]}
-            for name, prev in prev_all.items()
-            if name in timings
-            and timings[name] > prev * (1 + REGRESSION_TOLERANCE)
-        }
+        regressions, unprobed = classify_regressions(
+            timings, prev_all, probe_log)
         extra["regressions"] = regressions
         extra["regression_count"] = len(regressions)
+        if unprobed:
+            extra["regressions_unprobed"] = unprobed
 
     try:
         extra["loadavg_end"] = round(os.getloadavg()[0], 2)

@@ -185,3 +185,24 @@ def test_oversized_extras_spill_to_detail(tmp_path):
     with open(probe_path) as f:
         side = json.load(f)
     assert side["detail"]["extra.huge_section"]["k0"] == "x" * 50
+
+
+def test_regression_claims_require_clean_evidence():
+    from bench import classify_regressions
+
+    timings = {"q_dirty": 2.0, "q_clean": 2.0, "q_fine": 1.0}
+    prev = {"q_dirty": 1.0, "q_clean": 1.0, "q_fine": 1.0}
+    probe_log = {
+        # every sample contended: exceedance is window noise, not a claim
+        "q_dirty": {"clean_samples": 0, "n_samples": 5},
+        # >=1 clean sample exceeded the bar: a real regression claim
+        "q_clean": {"clean_samples": 2, "n_samples": 3},
+        "q_fine": {"clean_samples": 3, "n_samples": 3},
+    }
+    regressions, unprobed = classify_regressions(timings, prev, probe_log)
+    assert regressions == {"q_clean": {"prev": 1.0, "now": 2.0}}
+    assert unprobed == {"q_dirty": {"prev": 1.0, "now": 2.0}}
+    # a query missing from the probe log (defensive) counts as unprobed
+    regressions2, unprobed2 = classify_regressions(
+        {"q_x": 2.0}, {"q_x": 1.0}, {})
+    assert regressions2 == {} and "q_x" in unprobed2
